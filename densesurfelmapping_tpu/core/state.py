@@ -1,0 +1,145 @@
+"""Device-resident state pytrees (structure-of-arrays, static shapes).
+
+The reference stores surfels in `std::vector<SurfelElement>` (AoS, dynamic
+size, `elements.h:22-31`) and superpixels in `std::vector<Superpixel_seed>`
+(`elements.h:5-20`).  On TPU both become fixed-capacity structure-of-arrays
+pytrees: every field is a dense tensor, liveness is a mask, and growth is
+masked compaction instead of push_back.  All pytrees are flax.struct
+dataclasses so they flow through jit/donate/shard unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..config import SurfelMapConfig
+
+
+@struct.dataclass
+class SurfelBank:
+    """Fixed-capacity surfel store (reference SurfelElement, `elements.h:22-31`).
+
+    Rows [0, count) are allocated; a row is *live* iff update_times > 0.
+    The fuse step may zero update_times (kill); compaction re-packs live rows
+    to the front and appends new surfels.
+    """
+
+    position: jnp.ndarray       # (N, 3) f32, world frame
+    normal: jnp.ndarray         # (N, 3) f32, world frame, unit
+    color: jnp.ndarray          # (N,)   f32, mean intensity 0..255
+    size: jnp.ndarray           # (N,)   f32, surfel radius (m)
+    weight: jnp.ndarray         # (N,)   f32, accumulated fusion weight
+    update_times: jnp.ndarray   # (N,)   i32, #fusions; 0 == dead slot
+    last_update: jnp.ndarray    # (N,)   i32, keyframe index of last fuse
+    count: jnp.ndarray          # ()     i32, allocated prefix length
+
+    @property
+    def capacity(self) -> int:
+        return self.position.shape[0]
+
+    @property
+    def live_mask(self) -> jnp.ndarray:
+        in_prefix = jnp.arange(self.capacity, dtype=jnp.int32) < self.count
+        return in_prefix & (self.update_times > 0)
+
+    @staticmethod
+    def empty(capacity: int) -> "SurfelBank":
+        return SurfelBank(
+            position=jnp.zeros((capacity, 3), jnp.float32),
+            normal=jnp.zeros((capacity, 3), jnp.float32),
+            color=jnp.zeros((capacity,), jnp.float32),
+            size=jnp.zeros((capacity,), jnp.float32),
+            weight=jnp.zeros((capacity,), jnp.float32),
+            update_times=jnp.zeros((capacity,), jnp.int32),
+            last_update=jnp.full((capacity,), -1, jnp.int32),
+            count=jnp.zeros((), jnp.int32),
+        )
+
+    def field_arrays(self):
+        """(name, array) pairs of the per-surfel fields (excludes count)."""
+        return [("position", self.position), ("normal", self.normal),
+                ("color", self.color), ("size", self.size),
+                ("weight", self.weight), ("update_times", self.update_times),
+                ("last_update", self.last_update)]
+
+
+@struct.dataclass
+class SuperpixelState:
+    """Per-frame superpixel seed grid (reference Superpixel_seed,
+    `elements.h:5-20`), laid out as (sp_rows, sp_cols) field planes.
+
+    `valid` is the static mask of seeds that exist in the reference's
+    truncated width/SP_SIZE grid; padded seeds never own pixels.
+    """
+
+    x: jnp.ndarray               # (R, C) f32, centroid pixel col
+    y: jnp.ndarray               # (R, C) f32, centroid pixel row
+    mean_intensity: jnp.ndarray  # (R, C) f32
+    mean_depth: jnp.ndarray      # (R, C) f32, 0 == no depth
+    size: jnp.ndarray            # (R, C) f32, max pixel radius
+    norm: jnp.ndarray            # (R, C, 3) f32, camera-frame normal (0 == unset)
+    pos: jnp.ndarray             # (R, C, 3) f32, camera-frame center on plane
+    view_cos: jnp.ndarray        # (R, C) f32
+    stable: jnp.ndarray          # (R, C) bool, SLIC convergence latch
+    fused: jnp.ndarray           # (R, C) bool, claimed by a surfel this frame
+
+    @staticmethod
+    def zeros(rows: int, cols: int) -> "SuperpixelState":
+        f = lambda *s: jnp.zeros(s, jnp.float32)
+        return SuperpixelState(
+            x=f(rows, cols), y=f(rows, cols),
+            mean_intensity=f(rows, cols), mean_depth=f(rows, cols),
+            size=f(rows, cols), norm=f(rows, cols, 3), pos=f(rows, cols, 3),
+            view_cos=f(rows, cols),
+            stable=jnp.zeros((rows, cols), bool),
+            fused=jnp.zeros((rows, cols), bool),
+        )
+
+
+@struct.dataclass
+class FrameInput:
+    """One synchronized (intensity, depth, pose) observation.
+
+    The pose is camera-to-world (Twc) as a 4x4 f32; `frame_index` is the
+    reference-keyframe index used for surfel bookkeeping (the reference's
+    `reference_frame_index`)."""
+
+    image: jnp.ndarray        # (H, W) f32, intensity 0..255 (padded)
+    depth: jnp.ndarray        # (H, W) f32, metric depth, 0 == invalid (padded)
+    pose: jnp.ndarray         # (4, 4) f32, Twc
+    frame_index: jnp.ndarray  # ()     i32
+
+
+def pad_frame(config: SurfelMapConfig, image: np.ndarray, depth: np.ndarray):
+    """Pad raw (H, W) image/depth to the config's aligned device shape.
+
+    Padding pixels get intensity 0 and depth 0 (invalid) and are additionally
+    excluded from all kernels via the static valid-pixel mask."""
+    ph, pw = config.padded_height, config.padded_width
+    h, w = image.shape
+    if (h, w) != (config.height, config.width):
+        raise ValueError(f"frame shape {(h, w)} != config camera "
+                         f"{(config.height, config.width)}")
+    out_img = np.zeros((ph, pw), np.float32)
+    out_dep = np.zeros((ph, pw), np.float32)
+    out_img[:h, :w] = image
+    out_dep[:h, :w] = depth
+    return out_img, out_dep
+
+
+def valid_pixel_mask(config: SurfelMapConfig) -> np.ndarray:
+    """Static (H_pad, W_pad) mask of pixels that exist in the raw image."""
+    m = np.zeros((config.padded_height, config.padded_width), bool)
+    m[:config.height, :config.width] = True
+    return m
+
+
+def valid_seed_mask(config: SurfelMapConfig) -> np.ndarray:
+    """Static (R, C) mask of seeds the reference grid contains
+    (sp_width = width // SP_SIZE truncation, `fusion_functions.cpp:14-15`)."""
+    m = np.zeros((config.sp_rows, config.sp_cols), bool)
+    m[:config.valid_sp_rows, :config.valid_sp_cols] = True
+    return m
