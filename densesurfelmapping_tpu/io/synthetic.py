@@ -1,0 +1,144 @@
+"""Procedural test scenes: deterministic depth+intensity renderers.
+
+The reference has no fixtures at all (SURVEY.md §4) — validation was rviz
+eyeballing.  This module is the framework's test/bench data source: a simple
+ray-cast world (ground plane + axis-aligned boxes + back wall) rendered from
+arbitrary camera poses, giving exactly reproducible sequences with known
+geometry for fidelity checks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..config import SurfelMapConfig
+
+
+@dataclasses.dataclass
+class Box:
+    lo: np.ndarray  # (3,)
+    hi: np.ndarray  # (3,)
+
+
+@dataclasses.dataclass
+class Scene:
+    """World: ground plane y = ground_y (+y down, camera convention),
+    optional far wall z = wall_z, boxes."""
+
+    ground_y: float = 1.5
+    wall_z: Optional[float] = 60.0
+    boxes: List[Box] = dataclasses.field(default_factory=list)
+    max_depth: float = 29.0
+    intensity_freq: Tuple[float, float] = (0.23, 0.31)
+
+    def render(self, config: SurfelMapConfig, pose: np.ndarray,
+               depth_noise: float = 0.0, seed: int = 0):
+        """Ray-cast depth + procedural world-texture intensity from a 4x4
+        camera-to-world pose. Returns (image f32 HxW, depth f32 HxW)."""
+        cam = config.camera
+        h, w = config.height, config.width
+        yy, xx = np.mgrid[0:h, 0:w]
+        dirs = np.stack([(xx - cam.cx) / cam.fx,
+                         (yy - cam.cy) / cam.fy,
+                         np.ones((h, w))], axis=-1)  # camera-frame rays, z=1
+        R = pose[:3, :3]
+        t = pose[:3, 3]
+        rays = dirs @ R.T                        # world-frame directions
+        org = t[None, None, :]
+
+        zdepth = np.full((h, w), np.inf)
+
+        def consider(t_hit):
+            """t_hit is the CAMERA-frame z (ray param since dir_z_cam == 1)."""
+            nonlocal zdepth
+            good = (t_hit > 0.05) & (t_hit < zdepth)
+            zdepth = np.where(good, t_hit, zdepth)
+
+        # ground plane: org_y + t*dir_y = ground_y
+        dy = rays[..., 1]
+        t_g = np.where(np.abs(dy) > 1e-9, (self.ground_y - t[1]) / dy, np.inf)
+        consider(np.where(t_g > 0, t_g, np.inf))
+
+        if self.wall_z is not None:
+            dz = rays[..., 2]
+            t_w = np.where(np.abs(dz) > 1e-9, (self.wall_z - t[2]) / dz,
+                           np.inf)
+            consider(np.where(t_w > 0, t_w, np.inf))
+
+        for box in self.boxes:
+            t_hit = _ray_box(org, rays, box.lo, box.hi)
+            consider(t_hit)
+
+        depth = np.where(np.isfinite(zdepth) & (zdepth < self.max_depth),
+                         zdepth, 0.0)
+
+        # world-anchored texture so intensity is view-consistent
+        safe_z = np.where(np.isfinite(zdepth), zdepth, 0.0)
+        pts = org + rays * safe_z[..., None]
+        fx_, fy_ = self.intensity_freq
+        tex = 128 + 55 * np.sin(pts[..., 0] * 7 * fx_) \
+            * np.cos(pts[..., 2] * 9 * fy_) + 30 * np.sin(pts[..., 1] * 5)
+        image = np.floor(np.where(depth > 0, tex, 20.0)).clip(0, 255)
+
+        if depth_noise:
+            rng = np.random.default_rng(seed)
+            depth = np.where(depth > 0,
+                             depth + rng.normal(0, depth_noise, (h, w)), 0.0)
+        return image.astype(np.float32), depth.astype(np.float32)
+
+
+def _ray_box(org, rays, lo, hi):
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = 1.0 / rays
+        t0 = (lo[None, None] - org) * inv
+        t1 = (hi[None, None] - org) * inv
+    tmin = np.minimum(t0, t1).max(axis=-1)
+    tmax = np.maximum(t0, t1).min(axis=-1)
+    hit = (tmax >= np.maximum(tmin, 0))
+    return np.where(hit, np.where(tmin > 0, tmin, np.inf), np.inf)
+
+
+def default_scene() -> Scene:
+    return Scene(ground_y=1.5, wall_z=60.0, boxes=[
+        Box(lo=np.array([-4.0, -0.5, 12.0]), hi=np.array([-2.0, 1.5, 14.0])),
+        Box(lo=np.array([2.0, 0.0, 20.0]), hi=np.array([5.0, 1.5, 23.0])),
+        Box(lo=np.array([-1.0, -1.0, 35.0]), hi=np.array([1.0, 1.5, 38.0])),
+    ])
+
+
+def forward_trajectory(n_frames: int, step: float = 0.5,
+                       yaw_rate: float = 0.0) -> List[np.ndarray]:
+    """Simple dead-ahead (optionally curving) camera trajectory."""
+    poses = []
+    pose = np.eye(4)
+    yaw = 0.0
+    for _ in range(n_frames):
+        poses.append(pose.copy())
+        yaw += yaw_rate
+        R = np.array([[np.cos(yaw), 0, np.sin(yaw)],
+                      [0, 1, 0],
+                      [-np.sin(yaw), 0, np.cos(yaw)]])
+        fwd = R @ np.array([0.0, 0.0, step])
+        pose = pose.copy()
+        pose[:3, :3] = R
+        pose[:3, 3] = pose[:3, 3] + fwd
+    return poses
+
+
+def loop_trajectory(n_frames: int, radius: float = 8.0) -> List[np.ndarray]:
+    """Closed circular trajectory (revisits the start: loop-closure tests)."""
+    poses = []
+    for i in range(n_frames):
+        a = 2 * np.pi * i / n_frames
+        R = np.array([[np.cos(a), 0, np.sin(a)],
+                      [0, 1, 0],
+                      [-np.sin(a), 0, np.cos(a)]])
+        t = np.array([radius * (1 - np.cos(a)), 0.0, radius * np.sin(a)])
+        pose = np.eye(4)
+        pose[:3, :3] = R
+        pose[:3, 3] = t
+        poses.append(pose)
+    return poses

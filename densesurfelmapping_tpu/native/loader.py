@@ -1,0 +1,112 @@
+"""ctypes loader (and on-demand builder) for the native C++ runtime.
+
+pybind11 is unavailable in this image, so the native library exposes a plain
+C ABI loaded with ctypes.  If no compiler or prebuilt .so is present, every
+entry point degrades to the pure-Python fallback in the caller.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "surfel_native.cpp")
+_SO = os.path.join(_DIR, "libsurfelnative.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def build(force: bool = False) -> bool:
+    """Compile the native library with g++ (idempotent)."""
+    if os.path.exists(_SO) and not force \
+            and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return True
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+             "-o", _SO, _SRC],
+            check=True, capture_output=True)
+        return True
+    except (OSError, subprocess.CalledProcessError):
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO):
+            if not build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.dsm_write_ply_mesh.restype = ctypes.c_int
+        lib.dsm_write_ply_mesh.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int]
+        lib.dsm_write_pcd.restype = ctypes.c_int
+        lib.dsm_write_pcd.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int]
+        lib.dsm_bfs.restype = ctypes.c_int64
+        lib.dsm_bfs.argtypes = [ctypes.POINTER(ctypes.c_int64)] * 2 \
+            + [ctypes.c_int64] * 3 + [ctypes.POINTER(ctypes.c_int64)]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def write_ply_mesh(path: str, verts: np.ndarray, colors: np.ndarray,
+                   faces: np.ndarray, binary: bool) -> None:
+    lib = _load()
+    verts = np.ascontiguousarray(verts, np.float32)
+    colors = np.ascontiguousarray(colors, np.uint8)
+    faces = np.ascontiguousarray(faces, np.int64)
+    rc = lib.dsm_write_ply_mesh(
+        path.encode(), _ptr(verts, ctypes.c_float),
+        _ptr(colors, ctypes.c_uint8), len(colors),
+        _ptr(faces, ctypes.c_int64), len(faces), int(binary))
+    if rc:
+        raise IOError(f"native PLY writer failed for {path}")
+
+
+def write_pcd(path: str, xyzi: np.ndarray, binary: bool) -> None:
+    lib = _load()
+    xyzi = np.ascontiguousarray(xyzi, np.float32)
+    rc = lib.dsm_write_pcd(path.encode(), _ptr(xyzi, ctypes.c_float),
+                           len(xyzi), int(binary))
+    if rc:
+        raise IOError(f"native PCD writer failed for {path}")
+
+
+def bfs(indptr: np.ndarray, indices: np.ndarray, root: int,
+        radius: int) -> np.ndarray:
+    lib = _load()
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int64)
+    n = len(indptr) - 1
+    out = np.zeros(n, np.int64)
+    cnt = lib.dsm_bfs(_ptr(indptr, ctypes.c_int64),
+                      _ptr(indices, ctypes.c_int64),
+                      n, int(root), int(radius), _ptr(out, ctypes.c_int64))
+    return out[:cnt]

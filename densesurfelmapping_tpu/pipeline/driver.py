@@ -1,0 +1,360 @@
+"""SurfelMapping: the host orchestrator around the jitted fuse step.
+
+The TPU-native equivalent of the `SurfelMap` class (`surfel_map.h:48-148`):
+frame/pose buffering and timestamp sync (`synchronize_msgs`,
+`surfel_map.cpp:103-203`), pose/loop ingestion (`orb_results_input`,
+:205-365), active-window migration (`move_add_surfels`, :1456-1595),
+loop-closure warping (`warp_surfels`, :791-824), map export and — new in
+this framework — full checkpoint/resume.
+
+Division of labor: the pose graph and buffers are tiny and live on host;
+every per-surfel / per-pixel operation is a jitted device call with static
+shapes (fixed-size migration buffers, padded append slabs).
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SurfelMapConfig
+from ..core import geometry
+from ..core.state import FrameInput, SurfelBank, pad_frame
+from ..ops import migration, warp as warp_ops
+from ..ops.fusion import compact_and_append
+from ..utils.timing import StageTimer
+from .fuse_step import jitted_fuse_frame
+from .inactive_pool import InactivePool, FIELDS
+from .pose_graph import PoseGraph
+
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _jitted_append(buffer_size: int):
+    """Append up to buffer_size host surfels into the bank (static shapes)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def append(bank, fields, n):
+        mask = jnp.arange(buffer_size, dtype=jnp.int32) < n
+        return compact_and_append(bank, fields, mask)
+
+    return append
+
+
+class SurfelMapping:
+    """End-to-end mapping system: feed images/depths/poses, read out maps.
+
+    Input schema matches the reference's topic contract (SURVEY.md §1):
+    intensity image + metric depth (0 = invalid) + per-frame pose with
+    keyframe flag, reference-keyframe index, the full loop-corrected
+    keyframe path, and loop-edge index pairs.
+    """
+
+    def __init__(self, config: SurfelMapConfig, kitti_alignment: bool = False):
+        self.config = config
+        self.graph = PoseGraph()
+        self.pool = InactivePool()
+        self.bank: SurfelBank = SurfelBank.empty(config.surfel_capacity)
+        self.local_indices: Set[int] = set()
+        self.timer = StageTimer()
+
+        self._kitti_alignment = kitti_alignment
+        self._alignment: Optional[np.ndarray] = None
+
+        self._fuse = jitted_fuse_frame(config)
+        self._append = _jitted_append(config.migration_buffer)
+        self._warp_active = warp_ops.warp_active
+        self._warp_pool = warp_ops.warp_pool
+
+        # (stamp, image) / (stamp, depth) / (stamp, rel_pose, ref_index)
+        self.image_buffer = collections.deque()
+        self.depth_buffer = collections.deque()
+        self.pose_buffer = collections.deque()
+        self.stamp_tolerance = 1e-6
+
+        self.frames_fused = 0
+        self.last_stats: Dict[str, int] = {}
+
+    # ------------------------------------------------------------------
+    # inputs (reference: image_input/depth_input/orb_results_input)
+    # ------------------------------------------------------------------
+    def feed_image(self, stamp: float, image: np.ndarray) -> None:
+        self.image_buffer.append((float(stamp), image))
+        self._synchronize()
+
+    def feed_depth(self, stamp: float, depth: np.ndarray) -> None:
+        self.depth_buffer.append((float(stamp), depth))
+        self._synchronize()
+
+    def feed_pose(self, stamp: float, pose: np.ndarray,
+                  loop_path: Optional[Sequence[np.ndarray]] = None,
+                  loop_edges: Sequence[Tuple[int, int]] = (),
+                  is_keyframe: bool = False,
+                  reference_index: Optional[int] = None) -> None:
+        """Pose/loop ingestion (`orb_results_input`, surfel_map.cpp:205-365).
+
+        pose: 4x4 Twc of the CURRENT frame. loop_path: loop-corrected poses
+        of ALL keyframes so far (same raw frame as pose). loop_edges:
+        keyframe index pairs. reference_index: this frame's reference
+        keyframe (defaults to the newest; a new keyframe references itself).
+        """
+        pose = np.array(pose, np.float64)
+        if self._kitti_alignment:
+            if self._alignment is None:
+                self._alignment = geometry.kitti_alignment(pose)
+            pose = self._alignment @ pose
+            if loop_path is not None:
+                loop_path = [self._alignment @ np.asarray(p, np.float64)
+                             for p in loop_path]
+
+        loop_changed = False
+        if loop_path is not None and len(self.graph) > 0:
+            loop_changed = self.graph.update_loop_path(list(loop_path))
+        if loop_changed:
+            with self.timer.stage("warp"):
+                self._warp_surfels()
+
+        if is_keyframe or len(self.graph) == 0:
+            # link the new keyframe to its reference (covariance[1] in the
+            # reference schema); default to the newest existing keyframe
+            link_to = None
+            if len(self.graph) > 0:
+                link_to = (reference_index if reference_index is not None
+                           else len(self.graph) - 1)
+            new_index = self.graph.add_keyframe(pose, stamp, link_to)
+            self.local_indices.add(new_index)
+            if reference_index is None:
+                reference_index = new_index
+        if reference_index is None:
+            reference_index = len(self.graph) - 1
+
+        # divergence from the reference: edges are recorded AFTER keyframe
+        # insertion, so same-message edges naming the new keyframe register
+        # immediately (the C++ drops them until they re-arrive next frame,
+        # surfel_map.cpp:289-316 running before :318-353)
+        self.graph.add_loop_edges(loop_edges)
+
+        ref_pose = self.graph.keyframes[int(reference_index)].cam_pose
+        rel = geometry.invert_se3(ref_pose) @ pose
+        self.pose_buffer.append((float(stamp), rel, int(reference_index)))
+        self._synchronize()
+
+    # ------------------------------------------------------------------
+    # sync + fuse (reference: synchronize_msgs, surfel_map.cpp:103-203)
+    # ------------------------------------------------------------------
+    def _match_front(self, buffer, stamp):
+        while buffer:
+            t = buffer[0][0]
+            if t < stamp - self.stamp_tolerance:
+                buffer.popleft()
+            elif abs(t - stamp) <= self.stamp_tolerance:
+                return buffer[0]
+            else:
+                return None
+        return None
+
+    def _synchronize(self) -> None:
+        while self.pose_buffer:
+            stamp, rel, ref = self.pose_buffer[0]
+            img = self._match_front(self.image_buffer, stamp)
+            dep = self._match_front(self.depth_buffer, stamp)
+            if img is None or dep is None:
+                return
+            fuse_pose = self.graph.keyframes[ref].cam_pose @ rel
+            with self.timer.stage("migrate"):
+                self._move_add_surfels(ref)
+            with self.timer.stage("fuse"):
+                self._fuse_frame(img[1], dep[1], fuse_pose, ref)
+            self.pose_buffer.popleft()
+            self.image_buffer.popleft()
+            self.depth_buffer.popleft()
+
+    def _fuse_frame(self, image, depth, pose, ref_index: int) -> None:
+        pi, pd = pad_frame(self.config, np.asarray(image, np.float32),
+                           np.asarray(depth, np.float32))
+        frame = FrameInput(
+            image=jnp.asarray(pi), depth=jnp.asarray(pd),
+            pose=jnp.asarray(pose, jnp.float32).reshape(4, 4),
+            frame_index=jnp.int32(ref_index))
+        self.bank, stats = self._fuse(self.bank, frame)
+        self.last_stats = {k: int(v) for k, v in stats.items()}
+        self.frames_fused += 1
+
+    # ------------------------------------------------------------------
+    # active window migration (reference: move_add_surfels)
+    # ------------------------------------------------------------------
+    def _move_add_surfels(self, ref_index: int) -> None:
+        to_add, to_remove = self.graph.add_remove_sets(
+            ref_index, self.config.drift_free_poses, self.local_indices)
+
+        if to_remove:
+            buf_size = self.config.migration_buffer
+            remaining = list(to_remove)
+            while remaining:
+                chunk = remaining[:migration.MAX_REMOVE_POSES]
+                ids = np.full(migration.MAX_REMOVE_POSES, -1, np.int32)
+                ids[:len(chunk)] = chunk
+                while True:
+                    self.bank, buf, n = migration.extract_by_pose(
+                        self.bank, jnp.asarray(ids), buf_size)
+                    n = int(n)
+                    if n == 0:
+                        break
+                    host = {k: np.asarray(v[:n]) for k, v in buf.items()}
+                    for pose_id in chunk:
+                        sel = host["last_update"] == pose_id
+                        if sel.any():
+                            self.pool.attach(
+                                pose_id, {k: v[sel] for k, v in host.items()},
+                                int(sel.sum()))
+                    if n < buf_size:
+                        break
+                remaining = remaining[migration.MAX_REMOVE_POSES:]
+            self.local_indices -= set(to_remove)
+
+        if to_add:
+            self.local_indices |= set(to_add)
+            slab = self.pool.detach(to_add)
+            m = len(slab["color"])
+            buf_size = self.config.migration_buffer
+            for off in range(0, max(m, 1), buf_size):
+                part = {k: v[off:off + buf_size] for k, v in slab.items()}
+                n = len(part["color"])
+                if n == 0:
+                    break
+                padded = {}
+                for k in FIELDS:
+                    arr = np.zeros((buf_size,) + part[k].shape[1:],
+                                   part[k].dtype)
+                    arr[:n] = part[k]
+                    padded[k] = jnp.asarray(arr)
+                self.bank, _ = self._append(self.bank, padded, jnp.int32(n))
+
+    # ------------------------------------------------------------------
+    # loop-closure warp (reference: warp_surfels)
+    # ------------------------------------------------------------------
+    def _warp_surfels(self) -> None:
+        warps, moved = self.graph.pose_warps()
+        # active surfels: single warp from the FIRST local pose
+        # (surfel_map.cpp:808-813)
+        if self.local_indices:
+            first = min(self.local_indices)
+            if first < len(moved) and moved[first]:
+                self.bank = self._warp_active(
+                    self.bank, jnp.asarray(warps[first], jnp.float32))
+        self.pool.warp(warps, moved, self._warp_pool)
+        self.graph.commit_loop_poses()
+
+    # ------------------------------------------------------------------
+    # map readout (reference: publish_* / save_*)
+    # ------------------------------------------------------------------
+    def active_surfels(self, min_updates: Optional[int] = None) -> dict:
+        """Host copy of live active surfels (update_times >= min_updates,
+        default the config's stable threshold — matches
+        publish_active_pointcloud / save_cloud gating)."""
+        if min_updates is None:
+            min_updates = self.config.stable_update_times
+        n = int(self.bank.count)
+        out = {}
+        ut = np.asarray(self.bank.update_times[:n])
+        sel = ut >= min_updates
+        for name, arr in self.bank.field_arrays():
+            out[name] = np.asarray(arr[:n])[sel]
+        return out
+
+    def inactive_surfels(self) -> dict:
+        return self.pool.all_surfels()
+
+    def map_surfels(self) -> dict:
+        """Stable active + all inactive surfels (save_cloud semantics,
+        `surfel_map.cpp:1153-1174`)."""
+        act = self.active_surfels()
+        ina = self.inactive_surfels()
+        return {k: np.concatenate([act[k], ina[k]]) for k in FIELDS}
+
+    def mesh_surfels(self) -> dict:
+        """Surfels eligible for mesh export: every inactive (attached)
+        surfel + stable active ones (save_mesh, `surfel_map.cpp:1219-1240`)."""
+        return self.map_surfels()
+
+    def save_cloud(self, path: str, binary: bool = True) -> int:
+        """PCD export of the stable map (`save_cloud`, surfel_map.cpp:1153)."""
+        from ..io import export
+        return export.save_cloud_pcd(path, self.map_surfels(), binary=binary)
+
+    def save_mesh(self, path: str, binary: bool = False) -> int:
+        """Hexagon-tessellated PLY export (`save_mesh`, surfel_map.cpp:1219)."""
+        from ..io import export
+        return export.save_mesh_ply(path, self.mesh_surfels(), binary=binary)
+
+    def memory_usage_kb(self) -> float:
+        """`calculate_memory_usage` (surfel_map.cpp:895-904) equivalent."""
+        bank_bytes = sum(np.asarray(a).nbytes
+                         for _, a in self.bank.field_arrays())
+        return (bank_bytes + self.pool.memory_bytes()) / 1024.0
+
+    # ------------------------------------------------------------------
+    # checkpoint/resume (new capability; the reference has none — SURVEY §5)
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, path: str) -> None:
+        n = int(self.bank.count)
+        data = {f"bank_{k}": np.asarray(v[:n])
+                for k, v in self.bank.field_arrays()}
+        data["bank_count"] = np.int64(n)
+        g = self.graph
+        data["kf_cam"] = np.stack([k.cam_pose for k in g.keyframes]) \
+            if len(g) else np.zeros((0, 4, 4))
+        data["kf_loop"] = np.stack([k.loop_pose for k in g.keyframes]) \
+            if len(g) else np.zeros((0, 4, 4))
+        data["kf_stamp"] = np.array([k.stamp for k in g.keyframes])
+        edges = [(i, j) for i, k in enumerate(g.keyframes) for j in k.linked]
+        data["kf_edges"] = np.array(edges, np.int64).reshape(-1, 2)
+        data["local_indices"] = np.array(sorted(self.local_indices), np.int64)
+        data["pool_keys"] = np.array(sorted(self.pool.slabs), np.int64)
+        for k in FIELDS:
+            slabs = [self.pool.slabs[i][k] for i in sorted(self.pool.slabs)]
+            data[f"pool_{k}"] = (np.concatenate(slabs) if slabs else
+                                 np.zeros((0, 3) if k in ("position", "normal")
+                                          else (0,), np.float32))
+        data["pool_counts"] = np.array(
+            [len(self.pool.slabs[i]["color"])
+             for i in sorted(self.pool.slabs)], np.int64)
+        data["frames_fused"] = np.int64(self.frames_fused)
+        if self._alignment is not None:
+            data["alignment"] = self._alignment
+        np.savez_compressed(path, **data)
+
+    def load_checkpoint(self, path: str) -> None:
+        z = np.load(path, allow_pickle=False)
+        n = int(z["bank_count"])
+        bank = SurfelBank.empty(self.config.surfel_capacity)
+        upd = {}
+        for k, arr in bank.field_arrays():
+            host = np.array(arr)  # writable host copy
+            host[:n] = z[f"bank_{k}"]
+            upd[k] = jnp.asarray(host)
+        self.bank = bank.replace(count=jnp.int32(n), **upd)
+        self.graph = PoseGraph()
+        for cam, loop, stamp in zip(z["kf_cam"], z["kf_loop"], z["kf_stamp"]):
+            idx = self.graph.add_keyframe(cam, float(stamp))
+            self.graph.keyframes[idx].loop_pose = np.array(loop)
+        for i, j in z["kf_edges"]:
+            kf = self.graph.keyframes[int(i)]
+            if int(j) not in kf.linked:
+                kf.linked.append(int(j))
+        self.local_indices = set(int(i) for i in z["local_indices"])
+        self.pool = InactivePool()
+        off = 0
+        for key, cnt in zip(z["pool_keys"], z["pool_counts"]):
+            slab = {k: z[f"pool_{k}"][off:off + int(cnt)].copy()
+                    for k in FIELDS}
+            self.pool.slabs[int(key)] = slab
+            off += int(cnt)
+        self.frames_fused = int(z["frames_fused"])
+        if "alignment" in z:
+            self._alignment = np.array(z["alignment"])

@@ -1,0 +1,201 @@
+"""Integration tests of the host driver: sync, keyframe lifecycle,
+active/inactive migration, loop-closure warping, checkpoint/resume.
+
+Uses a tiny camera + synthetic planar scene so the whole pipeline runs in
+seconds on the CPU backend.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from densesurfelmapping_tpu.config import SurfelMapConfig, CameraIntrinsics
+from densesurfelmapping_tpu.pipeline.driver import SurfelMapping
+from densesurfelmapping_tpu.pipeline.pose_graph import PoseGraph
+
+
+def tiny_config(**kw):
+    cam = CameraIntrinsics(width=64, height=48, fx=60.0, fy=60.0,
+                           cx=31.5, cy=23.5)
+    kw.setdefault("surfel_capacity", 16384)
+    kw.setdefault("migration_buffer", 4096)
+    kw.setdefault("lane_align", 8)
+    kw.setdefault("drift_free_poses", 3)
+    return SurfelMapConfig(camera=cam, **kw)
+
+
+def render_plane(cfg, pose, z_plane=4.0, noise=0.0, seed=0):
+    """Depth of the world plane z = z_plane seen from pose (camera +z)."""
+    rng = np.random.default_rng(seed)
+    h, w = cfg.height, cfg.width
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = np.floor(128 + 80 * np.sin(xx / 5.0) * np.sin(yy / 4.0)).clip(0, 255)
+    # ray through pixel in world coords
+    inv = np.linalg.inv(pose)
+    cam_z = pose[2, 3]
+    rz = pose[2, 2]  # assume rotation approx identity for these tests
+    depth = (z_plane - cam_z) / max(rz, 1e-6) * np.ones((h, w))
+    if noise:
+        depth = depth + rng.normal(0, noise, (h, w))
+    return img.astype(np.float32), depth.astype(np.float32)
+
+
+def feed_frame(mapper, stamp, pose, img, dep, is_keyframe, ref=None,
+               loop_path=None, loop_edges=()):
+    mapper.feed_image(stamp, img)
+    mapper.feed_depth(stamp, dep)
+    mapper.feed_pose(stamp, pose, loop_path=loop_path, loop_edges=loop_edges,
+                     is_keyframe=is_keyframe, reference_index=ref)
+
+
+def test_sync_requires_all_three():
+    cfg = tiny_config()
+    m = SurfelMapping(cfg)
+    pose = np.eye(4)
+    img, dep = render_plane(cfg, pose)
+    m.feed_image(0.0, img)
+    assert m.frames_fused == 0
+    m.feed_depth(0.0, dep)
+    assert m.frames_fused == 0
+    m.feed_pose(0.0, pose, is_keyframe=True)
+    assert m.frames_fused == 1
+    assert int(m.bank.count) > 0
+
+
+def test_keyframe_window_migration():
+    cfg = tiny_config(drift_free_poses=2)
+    m = SurfelMapping(cfg)
+    # chain of keyframes moving sideways; window radius 2 (BFS depth<2 => root
+    # + direct neighbors). Old keyframes must migrate to the inactive pool.
+    for i in range(5):
+        pose = np.eye(4)
+        pose[0, 3] = 0.4 * i
+        img, dep = render_plane(cfg, pose)
+        feed_frame(m, float(i), pose, img, dep, is_keyframe=True)
+    assert m.frames_fused == 5
+    # with radius 2 only {4, 3} stay local
+    assert m.local_indices == {3, 4}
+    assert m.pool.num_poses >= 1
+    assert len(m.pool) > 0
+    # conservation: every surfel is exactly one of active/inactive
+    total = int(m.bank.count) + len(m.pool)
+    assert total > 0
+
+
+def test_loop_revisit_reactivates():
+    cfg = tiny_config(drift_free_poses=2)
+    m = SurfelMapping(cfg)
+    for i in range(5):
+        pose = np.eye(4)
+        pose[0, 3] = 0.4 * i
+        img, dep = render_plane(cfg, pose)
+        feed_frame(m, float(i), pose, img, dep, is_keyframe=True)
+    pooled_before = set(m.pool.slabs)
+    assert 0 in pooled_before
+    # now a loop edge connects newest keyframe to keyframe 0: keyframe 0
+    # re-enters the BFS window and its surfels must come back
+    pose = np.eye(4)
+    pose[0, 3] = 0.0
+    img, dep = render_plane(cfg, pose)
+    feed_frame(m, 5.0, pose, img, dep, is_keyframe=True,
+               loop_edges=[(5, 0)])
+    assert 0 in m.local_indices
+    assert 0 not in m.pool.slabs
+
+
+def test_loop_closure_warps_map():
+    cfg = tiny_config(drift_free_poses=2)
+    m = SurfelMapping(cfg)
+    for i in range(5):
+        pose = np.eye(4)
+        pose[0, 3] = 0.4 * i
+        img, dep = render_plane(cfg, pose)
+        feed_frame(m, float(i), pose, img, dep, is_keyframe=True)
+    slabs_before = {k: v["position"].copy() for k, v in m.pool.slabs.items()}
+    act_before = np.asarray(m.bank.position[:int(m.bank.count)]).copy()
+
+    # pose-graph update shifts every keyframe by +1 in y
+    shift = np.eye(4)
+    shift[1, 3] = 1.0
+    loop_path = [shift @ kf.cam_pose for kf in m.graph.keyframes]
+    pose = np.eye(4)
+    pose[0, 3] = 0.4 * 5
+    pose = shift @ pose
+    img, dep = render_plane(cfg, np.eye(4))
+    feed_frame(m, 5.0, pose, img, dep, is_keyframe=True,
+               loop_path=loop_path)
+
+    # pre-existing inactive slabs must be shifted by the pose correction
+    # (frame 5's own fuse may migrate additional poses afterwards)
+    for k, before in slabs_before.items():
+        after = m.pool.slabs[k]["position"]
+        np.testing.assert_allclose(after[:, 1], before[:, 1] + 1.0, atol=1e-4)
+    # active surfels warped by the first local pose's correction (same shift)
+    n0 = act_before.shape[0]
+    act_after = np.asarray(m.bank.position)
+    # find the warped originals among current bank rows: compare y-median
+    assert np.median(act_after[:n0, 1]) == pytest.approx(
+        np.median(act_before[:, 1]) + 1.0, abs=0.3)
+    # pose graph committed
+    for kf in m.graph.keyframes[:-1]:
+        np.testing.assert_allclose(kf.cam_pose, kf.loop_pose)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = tiny_config(drift_free_poses=2)
+    m = SurfelMapping(cfg)
+    for i in range(5):
+        pose = np.eye(4)
+        pose[0, 3] = 0.4 * i
+        img, dep = render_plane(cfg, pose)
+        feed_frame(m, float(i), pose, img, dep, is_keyframe=True)
+    path = str(tmp_path / "ckpt.npz")
+    m.save_checkpoint(path)
+
+    m2 = SurfelMapping(cfg)
+    m2.load_checkpoint(path)
+    assert int(m2.bank.count) == int(m.bank.count)
+    assert m2.local_indices == m.local_indices
+    assert set(m2.pool.slabs) == set(m.pool.slabs)
+    np.testing.assert_allclose(
+        np.asarray(m2.bank.position[:int(m2.bank.count)]),
+        np.asarray(m.bank.position[:int(m.bank.count)]))
+    assert len(m2.graph) == len(m.graph)
+    assert m2.graph.keyframes[2].linked == m.graph.keyframes[2].linked
+
+    # resumed mapper keeps working
+    pose = np.eye(4)
+    pose[0, 3] = 0.4 * 5
+    img, dep = render_plane(cfg, pose)
+    feed_frame(m2, 5.0, pose, img, dep, is_keyframe=True)
+    assert m2.frames_fused == m.frames_fused + 1
+
+
+def test_bfs_window():
+    g = PoseGraph()
+    for i in range(6):
+        g.add_keyframe(np.eye(4), float(i),
+                       reference_index=i - 1 if i else None)
+    # chain 0-1-2-3-4-5 ; radius 3 from root 5 => {5,4,3}
+    assert set(g.driftfree_window(5, 3)) == {5, 4, 3}
+    g.add_loop_edges([(5, 0)])
+    assert set(g.driftfree_window(5, 3)) == {5, 4, 3, 0, 1}
+    add, rem = g.add_remove_sets(5, 3, {3, 4, 5, 2})
+    assert set(add) == {0, 1} and rem == [2]
+
+
+def test_unmatched_timestamps_stall_then_recover():
+    cfg = tiny_config()
+    m = SurfelMapping(cfg)
+    pose = np.eye(4)
+    img, dep = render_plane(cfg, pose)
+    # pose arrives with no matching image/depth: nothing fuses
+    m.feed_pose(1.0, pose, is_keyframe=True)
+    assert m.frames_fused == 0
+    # stale frames (older stamps) must be dropped, exact match fuses
+    m.feed_image(0.5, img)
+    m.feed_depth(0.5, dep)
+    assert m.frames_fused == 0
+    m.feed_image(1.0, img)
+    m.feed_depth(1.0, dep)
+    assert m.frames_fused == 1
