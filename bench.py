@@ -1,0 +1,73 @@
+"""Benchmark: depth frames fused per second at KITTI resolution on one chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the C++ reference sustains >=5 frames/s on a multicore CPU
+(BASELINE.md) — vs_baseline = our frames/s divided by 5.
+
+The scene is the deterministic procedural world from io/synthetic (KITTI
+camera geometry, frames pre-rendered and pre-padded so the measurement is
+the mapping pipeline: H2D transfer + full fuse step + map bookkeeping).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(n_frames: int = 60, warmup: int = 3):
+    import jax
+    import jax.numpy as jnp
+    import densesurfelmapping_tpu as dsm
+    from densesurfelmapping_tpu.core.state import SurfelBank, FrameInput, pad_frame
+    from densesurfelmapping_tpu.pipeline.fuse_step import jitted_fuse_frame
+    from densesurfelmapping_tpu.io import synthetic
+
+    cfg = dsm.kitti_config(surfel_capacity=1 << 19)
+    scene = synthetic.default_scene()
+    poses = synthetic.forward_trajectory(n_frames + warmup, step=0.4)
+
+    # pre-render on host (excluded from the timed region)
+    rendered = []
+    for i, pose in enumerate(poses):
+        img, dep = scene.render(cfg, pose)
+        pi, pd = pad_frame(cfg, img, dep)
+        rendered.append((pi, pd, pose.astype(np.float32)))
+
+    step = jitted_fuse_frame(cfg)
+    bank = SurfelBank.empty(cfg.surfel_capacity)
+
+    def run(i, bank):
+        pi, pd, pose = rendered[i]
+        frame = FrameInput(image=jnp.asarray(pi), depth=jnp.asarray(pd),
+                           pose=jnp.asarray(pose),
+                           frame_index=jnp.int32(i))
+        bank, stats = step(bank, frame)
+        return bank, stats
+
+    for i in range(warmup):
+        bank, stats = run(i, bank)
+    jax.block_until_ready(bank.count)
+
+    t0 = time.perf_counter()
+    for i in range(warmup, warmup + n_frames):
+        bank, stats = run(i, bank)
+    jax.block_until_ready(bank.count)
+    dt = time.perf_counter() - t0
+
+    fps = n_frames / dt
+    print(json.dumps({
+        "metric": "kitti_frames_fused_per_sec",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 5.0, 2),
+    }))
+    print(f"# {1000 * dt / n_frames:.1f} ms/frame, final map "
+          f"{int(bank.count)} active surfels, backend={jax.default_backend()}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    main(n)

@@ -1,0 +1,144 @@
+"""Multi-chip execution: surfel-sharded fusion + stream-data parallelism.
+
+The reference's only parallelism is 10 CPU threads over contiguous chunks
+(SURVEY.md §2).  The TPU-native scale-out story is a 2D device mesh:
+
+  * axis "data"   — independent camera streams (multi-session / fleet
+    mapping): each group of devices owns a stream's frames and bank rows.
+  * axis "surfel" — the surfel bank sharded row-wise; `fuse_surfels` is
+    embarrassingly parallel over surfels against a replicated frame, so the
+    only collective is an OR-reduce (pmax) of the per-seed `fused` flags
+    before new-surfel extraction, riding ICI.  New surfels are distributed
+    round-robin by seed index so shards stay balanced.
+
+The superpixel/plane-fit stage is computed replicated per surfel-shard (it
+is ~7k seeds of work — cheap relative to a 10^6-row bank); sharding it by
+image rows with halo exchange is a later optimization, not a semantic need.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import SurfelMapConfig
+from ..core.state import FrameInput, SurfelBank
+from ..ops import superpixel, normals, fusion
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              data: int = 1) -> Mesh:
+    """Mesh over available devices: ("data", "surfel")."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    assert n % data == 0, (n, data)
+    grid = np.array(devs[:n]).reshape(data, n // data)
+    return Mesh(grid, ("data", "surfel"))
+
+
+def _fuse_shard(config: SurfelMapConfig, bank: SurfelBank, frame: FrameInput,
+                n_shards: int):
+    """Body executed per surfel-shard under shard_map (single stream).
+
+    bank holds this shard's rows; frame is replicated across "surfel".
+    """
+    seeds, assignment = superpixel.run_slic(config, frame.image, frame.depth)
+    seeds, _ = normals.compute_seed_planes(config, seeds, assignment,
+                                           frame.depth)
+
+    bank, fused_local = fusion.fuse_surfels(
+        config, bank, seeds, assignment, frame.depth, frame.pose,
+        frame.frame_index)
+
+    # seeds claimed by ANY shard's surfels: OR across the surfel axis
+    fused = jax.lax.pmax(fused_local.astype(jnp.int32), "surfel") > 0
+
+    new_fields, new_mask = fusion.extract_new_surfels(
+        config, seeds, fused, frame.pose, frame.frame_index)
+
+    # round-robin ownership of new surfels by seed index
+    shard = jax.lax.axis_index("surfel")
+    seed_idx = jnp.arange(new_mask.shape[0], dtype=jnp.int32)
+    new_mask = new_mask & (seed_idx % n_shards == shard)
+
+    bank, stats = fusion.compact_and_append(bank, new_fields, new_mask)
+    stats["n_fused_seeds"] = jnp.sum(fused.astype(jnp.int32))
+    # global totals so the host sees one number per stream
+    stats = {k: jax.lax.psum(v, "surfel") if k != "n_fused_seeds" else v
+             for k, v in stats.items()}
+    return bank, stats
+
+
+@functools.lru_cache(maxsize=4)
+def sharded_fuse_frame(config: SurfelMapConfig, mesh: Mesh):
+    """Multi-device fuse step over mesh ("data", "surfel").
+
+    Call signature: (banks, frames) -> (banks, stats) where every SurfelBank
+    leaf has a leading stream axis B (sharded over "data") and row axis
+    sharded over "surfel"; every FrameInput leaf has leading axis B.
+    """
+    n_surfel = mesh.shape["surfel"]
+
+    def per_stream(bank, frame):
+        return _fuse_shard(config, bank, frame, n_surfel)
+
+    def stepper(banks, frames):
+        # count arrives as (B_local, 1) — one scalar per surfel shard
+        banks = banks.replace(count=banks.count[:, 0])
+        banks, stats = jax.vmap(per_stream)(banks, frames)
+        banks = banks.replace(count=banks.count[:, None])
+        return banks, stats
+
+    bank_spec = _bank_pspec()
+    frame_spec = FrameInput(image=P("data"), depth=P("data"),
+                            pose=P("data"), frame_index=P("data"))
+    stats_spec = {k: P("data") for k in
+                  ("n_live", "n_new", "n_dropped", "n_fused_seeds")}
+
+    mapped = jax.shard_map(
+        stepper, mesh=mesh,
+        in_specs=(bank_spec, frame_spec),
+        out_specs=(bank_spec, stats_spec))
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+def _bank_pspec() -> SurfelBank:
+    """PartitionSpecs of the multi-stream bank layout: every per-surfel field
+    is (B, N_rows...) sharded (data, surfel); count is (B, n_surfel) — one
+    scalar per surfel shard."""
+    return SurfelBank(
+        position=P("data", "surfel"), normal=P("data", "surfel"),
+        color=P("data", "surfel"), size=P("data", "surfel"),
+        weight=P("data", "surfel"), update_times=P("data", "surfel"),
+        last_update=P("data", "surfel"), count=P("data", "surfel"))
+
+
+def replicate_banks(mesh: Mesh, config: SurfelMapConfig,
+                    n_streams: int) -> SurfelBank:
+    """Empty per-stream banks laid out for the mesh. Capacity is padded so
+    each surfel shard has equal rows."""
+    n_surfel = mesh.shape["surfel"]
+    cap = ((config.surfel_capacity + n_surfel - 1) // n_surfel) * n_surfel
+    bank = SurfelBank.empty(cap)
+    banks = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (n_streams,) + a.shape), bank)
+    banks = banks.replace(
+        count=jnp.zeros((n_streams, n_surfel), jnp.int32))
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        banks, _bank_pspec())
+
+
+def shard_frames(mesh: Mesh, frames: FrameInput) -> FrameInput:
+    """Place a batched FrameInput (leading stream axis) onto the mesh:
+    sharded over "data", replicated over "surfel"."""
+    spec = FrameInput(image=P("data"), depth=P("data"), pose=P("data"),
+                      frame_index=P("data"))
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        frames, spec)

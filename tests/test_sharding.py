@@ -1,0 +1,98 @@
+"""Multi-device tests on the 8-way virtual CPU mesh (conftest forces it).
+
+Checks that the surfel-sharded + stream-data-parallel fuse step produces the
+same map as the single-device step (up to row order) and that collectives
+(fused-flag OR) behave.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from densesurfelmapping_tpu.config import SurfelMapConfig, CameraIntrinsics
+from densesurfelmapping_tpu.core.state import SurfelBank, FrameInput, pad_frame
+from densesurfelmapping_tpu.pipeline.fuse_step import fuse_frame
+from densesurfelmapping_tpu.parallel import sharding
+from densesurfelmapping_tpu.io import synthetic
+
+from test_driver import tiny_config
+
+
+def make_frames(cfg, poses, scene):
+    imgs, deps = [], []
+    for pose in poses:
+        img, dep = scene.render(cfg, pose)
+        pi, pd = pad_frame(cfg, img, dep)
+        imgs.append(pi)
+        deps.append(pd)
+    return np.stack(imgs), np.stack(deps)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_matches_single_device():
+    cfg = tiny_config(surfel_capacity=4096)
+    scene = synthetic.default_scene()
+    mesh = sharding.make_mesh(8, data=2)  # 2 streams x 4 surfel shards
+    step = sharding.sharded_fuse_frame(cfg, mesh)
+
+    poses = synthetic.forward_trajectory(2, step=0.3)
+    banks = sharding.replicate_banks(mesh, cfg, n_streams=2)
+
+    # two different streams: stream 1 starts one pose later
+    for t in range(2):
+        p0 = poses[t]
+        p1 = poses[(t + 1) % 2]
+        imgs, deps = make_frames(cfg, [p0, p1], scene)
+        frames = FrameInput(
+            image=jnp.asarray(imgs), depth=jnp.asarray(deps),
+            pose=jnp.asarray(np.stack([p0, p1]), jnp.float32),
+            frame_index=jnp.full((2,), t, jnp.int32))
+        frames = sharding.shard_frames(mesh, frames)
+        banks, stats = step(banks, frames)
+
+    # reference: single-device sequential per stream
+    def run_single(pose_seq):
+        bank = SurfelBank.empty(4096)
+        for t, pose in enumerate(pose_seq):
+            img, dep = scene.render(cfg, pose)
+            pi, pd = pad_frame(cfg, img, dep)
+            fr = FrameInput(image=jnp.asarray(pi), depth=jnp.asarray(pd),
+                            pose=jnp.asarray(pose, jnp.float32),
+                            frame_index=jnp.int32(t))
+            bank, _ = jax.jit(lambda b, f: fuse_frame(cfg, b, f))(bank, fr)
+        return bank
+
+    bank0 = run_single([poses[0], poses[1]])
+    bank1 = run_single([poses[1], poses[0]])
+
+    n_shards = 4
+    shard_rows = banks.position.shape[1] // n_shards
+
+    for stream, single in ((0, bank0), (1, bank1)):
+        counts = np.asarray(banks.count[stream])
+        total = counts.sum()
+        assert total == int(single.count), (stream, counts, int(single.count))
+        # gather live rows from each shard
+        pos_parts = []
+        host_pos = np.asarray(banks.position[stream])
+        host_ut = np.asarray(banks.update_times[stream])
+        for s in range(n_shards):
+            lo = s * shard_rows
+            c = counts[s]
+            rows = host_pos[lo:lo + c]
+            ut = host_ut[lo:lo + c]
+            assert (ut > 0).all()
+            pos_parts.append(rows)
+        got = np.sort(np.concatenate(pos_parts), axis=0)
+        want = np.sort(np.asarray(single.position[:int(single.count)]),
+                       axis=0)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_shapes():
+    mesh = sharding.make_mesh(8, data=4)
+    assert mesh.shape == {"data": 4, "surfel": 2}
+    mesh = sharding.make_mesh(8)
+    assert mesh.shape == {"data": 1, "surfel": 8}
