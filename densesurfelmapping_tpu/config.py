@@ -102,6 +102,7 @@ class SurfelMapConfig:
     surfel_capacity: int = 1 << 19      # active surfel SoA rows
     new_surfel_buffer: int = 0          # 0 => derived from sp grid
     migration_buffer: int = 1 << 17     # max surfels moved per migration call
+    compaction_slack: int = 1 << 16     # dead rows tolerated before repack
 
     # padding alignment for the image tensors
     lane_align: int = 128

@@ -53,18 +53,8 @@ def extract_by_pose(bank: SurfelBank, pose_ids: jnp.ndarray,
                update_times=grab(bank.update_times),
                last_update=grab(bank.last_update))
 
-    # kill extracted rows, then compact the bank in the same pass
-    keep = live & ~extracted
-    dest_keep = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    dest_keep = jnp.where(keep, dest_keep, bank.capacity)
-
-    def repack(arr):
-        return jnp.zeros_like(arr).at[dest_keep].set(arr, mode="drop")
-
+    # kill extracted rows in place; holes are reclaimed by compact_bank
+    # under the driver's fragmentation policy (no full-bank scatter here)
     new_bank = bank.replace(
-        position=repack(bank.position), normal=repack(bank.normal),
-        color=repack(bank.color), size=repack(bank.size),
-        weight=repack(bank.weight), update_times=repack(bank.update_times),
-        last_update=repack(bank.last_update),
-        count=jnp.sum(keep.astype(jnp.int32)))
+        update_times=jnp.where(extracted, 0, bank.update_times))
     return new_bank, buf, n

@@ -67,6 +67,39 @@ def pixel_normals(config: SurfelMapConfig, space: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(keep, n, 0.0)
 
 
+def _solve4(H: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched 4x4 solve via cofactor (adjugate) expansion — pure VPU math.
+
+    `jnp.linalg.solve` lowers to batched LU which costs ~40 ms for 7.5k
+    systems on a v5e; the closed-form inverse (what Eigen's Matrix4d
+    .inverse() uses in the reference, fusion_functions.cpp:176) runs in
+    microseconds.  H: (..., 4, 4), b: (..., 4).
+    """
+    m = [[H[..., i, j] for j in range(4)] for i in range(4)]
+
+    def det3(r0, r1, r2, c0, c1, c2):
+        return (m[r0][c0] * (m[r1][c1] * m[r2][c2] - m[r1][c2] * m[r2][c1])
+                - m[r0][c1] * (m[r1][c0] * m[r2][c2] - m[r1][c2] * m[r2][c0])
+                + m[r0][c2] * (m[r1][c0] * m[r2][c1] - m[r1][c1] * m[r2][c0]))
+
+    rows = (0, 1, 2, 3)
+    cof = [[None] * 4 for _ in range(4)]
+    for i in range(4):
+        ri = tuple(r for r in rows if r != i)
+        for j in range(4):
+            cj = tuple(c for c in rows if c != j)
+            minor = det3(ri[0], ri[1], ri[2], cj[0], cj[1], cj[2])
+            cof[i][j] = minor if (i + j) % 2 == 0 else -minor
+    det = (m[0][0] * cof[0][0] + m[0][1] * cof[0][1]
+           + m[0][2] * cof[0][2] + m[0][3] * cof[0][3])
+    inv_det = 1.0 / det
+    # x = H^-1 b ; (H^-1)_{ij} = cof[j][i] * inv_det (adjugate transpose)
+    x = [(cof[0][i] * b[..., 0] + cof[1][i] * b[..., 1]
+          + cof[2][i] * b[..., 2] + cof[3][i] * b[..., 3]) * inv_det
+         for i in range(4)]
+    return jnp.stack(x, axis=-1)
+
+
 def _huber_gauss_newton(points: jnp.ndarray, mask: jnp.ndarray,
                         n0: jnp.ndarray, huber_range: float):
     """Batched `get_huber_norm` (`fusion_functions.cpp:104-188`).
@@ -99,7 +132,7 @@ def _huber_gauss_newton(points: jnp.ndarray, mask: jnp.ndarray,
         hw = jnp.where(inl, 2.0, 0.0)
         hess = jnp.einsum("ski,sk,skj->sij", A, hw, A,
                           precision=hp) + eye5                  # (S, 4, 4)
-        n = n - jnp.linalg.solve(hess, jac[..., None])[..., 0]
+        n = n - _solve4(hess, jac)
 
     # uncenter: nb -= n . mean, then normalize the full 4-vector by |n_xyz|
     nb = n[:, 3] - jnp.sum(n[:, :3] * mean, axis=-1)

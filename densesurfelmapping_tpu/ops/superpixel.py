@@ -154,7 +154,12 @@ def assign_pixels(config: SurfelMapConfig, seeds: SuperpixelState,
 
     half_sq = jnp.float32((sp // 2) * (sp // 2))
 
-    costs_d, costs_nd, flats = [], [], []
+    # running strict-< minimum in the reference's candidate scan order:
+    # first minimum wins, no (9, H, W) stacks materialized
+    best_d = jnp.full(image.shape, BIG_COST)
+    best_d_idx = jnp.full(image.shape, -1, jnp.int32)
+    best_nd = jnp.full(image.shape, BIG_COST)
+    best_nd_idx = jnp.full(image.shape, -1, jnp.int32)
     all_has_depth = inv_depth > 0
     for di, dj in _OFFSETS:
         sx = _neighbor_plane(seeds.x, di, dj, sp)
@@ -162,6 +167,7 @@ def assign_pixels(config: SurfelMapConfig, seeds: SuperpixelState,
         si = _neighbor_plane(seeds.mean_intensity, di, dj, sp)
         sd = _neighbor_plane(seeds.mean_depth, di, dj, sp)
         in_range = jnp.asarray(g["in_range"][(di, dj)])
+        flat = jnp.asarray(g["nb_flat"][(di, dj)])
 
         dist = (sx - px_x) ** 2 + (sy - px_y) ** 2
         idiff = si - image
@@ -170,23 +176,20 @@ def assign_pixels(config: SurfelMapConfig, seeds: SuperpixelState,
         with_depth = nodepth + ddiff * ddiff * 400.0
         has_d = (sd > 0) & (inv_depth > 0)
 
-        costs_nd.append(jnp.where(in_range, nodepth, BIG_COST))
-        costs_d.append(jnp.where(in_range & has_d, with_depth,
-                                 jnp.where(in_range, nodepth, BIG_COST)))
-        flats.append(jnp.asarray(g["nb_flat"][(di, dj)]))
+        cost_nd = jnp.where(in_range, nodepth, BIG_COST)
+        cost_d = jnp.where(in_range & has_d, with_depth, cost_nd)
+
+        take_d = cost_d < best_d
+        best_d = jnp.where(take_d, cost_d, best_d)
+        best_d_idx = jnp.where(take_d, flat, best_d_idx)
+        take_nd = cost_nd < best_nd
+        best_nd = jnp.where(take_nd, cost_nd, best_nd)
+        best_nd_idx = jnp.where(take_nd, flat, best_nd_idx)
         # all_has_depth &= calculate_cost(...) over in-range candidates only
-        all_has_depth = all_has_depth & jnp.where(in_range, has_d, True)
+        all_has_depth = all_has_depth & (has_d | ~in_range)
 
-    costs_d = jnp.stack(costs_d)      # (9, H, W)
-    costs_nd = jnp.stack(costs_nd)
-    flats = jnp.stack(flats)          # (9, H, W) int32
-
-    pick = jnp.where(all_has_depth,
-                     jnp.argmin(costs_d, axis=0),
-                     jnp.argmin(costs_nd, axis=0))
-    best_cost = jnp.where(all_has_depth,
-                          jnp.min(costs_d, axis=0), jnp.min(costs_nd, axis=0))
-    chosen = jnp.take_along_axis(flats, pick[None], axis=0)[0]
+    chosen = jnp.where(all_has_depth, best_d_idx, best_nd_idx)
+    best_cost = jnp.where(all_has_depth, best_d, best_nd)
     chosen = jnp.where(best_cost >= BIG_COST, -1, chosen)
 
     stable_flat = seeds.stable.reshape(n_seeds)

@@ -53,7 +53,7 @@ def _fuse_shard(config: SurfelMapConfig, bank: SurfelBank, frame: FrameInput,
 
     bank, fused_local = fusion.fuse_surfels(
         config, bank, seeds, assignment, frame.depth, frame.pose,
-        frame.frame_index)
+        frame.frame_index, blocked=False)
 
     # seeds claimed by ANY shard's surfels: OR across the surfel axis
     fused = jax.lax.pmax(fused_local.astype(jnp.int32), "surfel") > 0

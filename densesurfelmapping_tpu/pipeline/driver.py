@@ -27,7 +27,7 @@ from ..core.state import FrameInput, SurfelBank, pad_frame
 from ..ops import migration, warp as warp_ops
 from ..ops.fusion import compact_and_append
 from ..utils.timing import StageTimer
-from .fuse_step import jitted_fuse_frame
+from .fuse_step import jitted_fuse_frame, jitted_compact
 from .inactive_pool import InactivePool, FIELDS
 from .pose_graph import PoseGraph
 
@@ -36,12 +36,14 @@ import functools
 
 @functools.lru_cache(maxsize=4)
 def _jitted_append(buffer_size: int):
-    """Append up to buffer_size host surfels into the bank (static shapes)."""
+    """Append up to buffer_size host surfels into the bank (static shapes,
+    tail-append — no full-bank repack)."""
+    from ..ops.fusion import append_new
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def append(bank, fields, n):
         mask = jnp.arange(buffer_size, dtype=jnp.int32) < n
-        return compact_and_append(bank, fields, mask)
+        return append_new(bank, fields, mask)
 
     return append
 
@@ -67,6 +69,7 @@ class SurfelMapping:
         self._alignment: Optional[np.ndarray] = None
 
         self._fuse = jitted_fuse_frame(config)
+        self._compact = jitted_compact(config)
         self._append = _jitted_append(config.migration_buffer)
         self._warp_active = warp_ops.warp_active
         self._warp_pool = warp_ops.warp_pool
@@ -184,6 +187,20 @@ class SurfelMapping:
         self.bank, stats = self._fuse(self.bank, frame)
         self.last_stats = {k: int(v) for k, v in stats.items()}
         self.frames_fused += 1
+        self._maybe_compact()
+
+    def _maybe_compact(self) -> None:
+        """Repack the bank when dead holes exceed the slack or the tail
+        lacks headroom for the next frame's append slab."""
+        st = self.last_stats
+        count = int(self.bank.count)
+        live = st.get("n_live", 0) + st.get("n_new", 0)
+        slab = self.config.new_capacity
+        need_room = count > self.bank.capacity - 2 * max(
+            slab, self.config.migration_buffer)
+        if (count - live > self.config.compaction_slack) or need_room \
+                or st.get("n_dropped", 0) > 0:
+            self.bank = self._compact(self.bank)
 
     # ------------------------------------------------------------------
     # active window migration (reference: move_add_surfels)
@@ -222,6 +239,8 @@ class SurfelMapping:
             slab = self.pool.detach(to_add)
             m = len(slab["color"])
             buf_size = self.config.migration_buffer
+            if int(self.bank.count) > self.bank.capacity - buf_size:
+                self.bank = self._compact(self.bank)
             for off in range(0, max(m, 1), buf_size):
                 part = {k: v[off:off + buf_size] for k, v in slab.items()}
                 n = len(part["color"])

@@ -37,7 +37,9 @@ def fuse_frame(config: SurfelMapConfig, bank: SurfelBank,
 
     new_fields, new_mask = fusion.extract_new_surfels(
         config, seeds, fused, frame.pose, frame.frame_index)
-    bank, stats = fusion.compact_and_append(bank, new_fields, new_mask)
+    # fast path: tail-append (no full-bank repack; holes are reclaimed by
+    # compact_bank under the driver's fragmentation policy)
+    bank, stats = fusion.append_new(bank, new_fields, new_mask)
 
     stats["n_fused_seeds"] = jnp.sum(fused.astype(jnp.int32))
     return bank, stats
@@ -47,6 +49,12 @@ def fuse_frame(config: SurfelMapConfig, bank: SurfelBank,
 def jitted_fuse_frame(config: SurfelMapConfig):
     """jit of fuse_frame with the bank donated (in-place HBM update)."""
     return jax.jit(functools.partial(fuse_frame, config), donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=4)
+def jitted_compact(config: SurfelMapConfig):
+    del config  # signature symmetry; compact_bank is shape-generic
+    return jax.jit(fusion.compact_bank, donate_argnums=(0,))
 
 
 def segmentation_only(config: SurfelMapConfig, image: jnp.ndarray,
