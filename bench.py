@@ -20,6 +20,8 @@ def main(n_frames: int = 60, warmup: int = 3):
     import jax
     import jax.numpy as jnp
     import densesurfelmapping_tpu as dsm
+    from densesurfelmapping_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from densesurfelmapping_tpu.core.state import SurfelBank, FrameInput, pad_frame
     from densesurfelmapping_tpu.pipeline.fuse_step import jitted_fuse_frame
     from densesurfelmapping_tpu.io import synthetic
