@@ -269,20 +269,36 @@ def update_seeds(config: SurfelMapConfig, seeds: SuperpixelState,
 
 
 def run_slic(config: SurfelMapConfig, image: jnp.ndarray,
-             depth: jnp.ndarray):
+             depth: jnp.ndarray, use_pallas: bool | None = None):
     """Full superpixel extraction (`generate_super_pixels`,
     `fusion_functions.cpp:960-975`): seed init + ITERATION_NUM x
-    (assign, update).  Returns (seeds, assignment (H,W) i32 flat ids)."""
+    (assign, update).  Returns (seeds, assignment (H,W) i32 flat ids).
+
+    use_pallas: None = auto (Pallas kernels on TPU, pure-XLA elsewhere).
+    Both paths compute the same function; tests cross-check them.
+    """
     sp = config.sp_size
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     inv_depth = jnp.where(depth > 0.01, 1.0 / jnp.maximum(depth, 1e-20), 0.0)
-    image_win = W.extract_windows(image, sp)
-    depth_win = W.extract_windows(depth, sp)
 
     seeds = initialize_seeds(config, image, depth)
     # raw pixels start at seed 0 like the reference's zero-fill
     # (fusion_functions.cpp:964); padded pixels are pinned to -1 (no seed)
     g = _static_geometry(config)
     assignment = jnp.where(jnp.asarray(g["pixel_valid"]), 0, -1).astype(jnp.int32)
+
+    if use_pallas:
+        from .pallas import slic as P
+        for _ in range(config.sp_iters):
+            assignment, seeds = P.assign_pixels_pallas(
+                config, seeds, image, inv_depth, assignment)
+            seeds = P.update_seeds_pallas(config, seeds, assignment,
+                                          image, depth)
+        return seeds, assignment
+
+    image_win = W.extract_windows(image, sp)
+    depth_win = W.extract_windows(depth, sp)
     for _ in range(config.sp_iters):
         assignment, seeds, _ = assign_pixels(
             config, seeds, image, inv_depth, assignment)
