@@ -130,6 +130,23 @@ def pad_frame(config: SurfelMapConfig, image: np.ndarray, depth: np.ndarray):
     return out_img, out_dep
 
 
+def compact_frame(config: SurfelMapConfig, image: np.ndarray,
+                  depth: np.ndarray):
+    """Host-side compact frame encoding for cheap H2D transfer.
+
+    Intensity is u8 (exact for camera images), depth f16 (<=0.05% relative
+    quantization — far inside the association gate's noise model,
+    tolerate_diff >= 0.1 m).  Use with `fuse_step.jitted_fuse_frame_compact`,
+    which converts and pads on device; cuts per-frame upload from 3.8 MB
+    to 1.4 MB."""
+    h, w = image.shape
+    if (h, w) != (config.height, config.width):
+        raise ValueError(f"frame shape {(h, w)} != config camera "
+                         f"{(config.height, config.width)}")
+    return (np.ascontiguousarray(image, np.uint8),
+            np.ascontiguousarray(depth, np.float16))
+
+
 def valid_pixel_mask(config: SurfelMapConfig) -> np.ndarray:
     """Static (H_pad, W_pad) mask of pixels that exist in the raw image."""
     m = np.zeros((config.padded_height, config.padded_width), bool)

@@ -51,6 +51,33 @@ def jitted_fuse_frame(config: SurfelMapConfig):
     return jax.jit(functools.partial(fuse_frame, config), donate_argnums=(0,))
 
 
+def ingest_frame(config: SurfelMapConfig, image_u8: jnp.ndarray,
+                 depth_f16: jnp.ndarray):
+    """Device-side decode of a compact frame (see `core.state.compact_frame`):
+    u8 intensity + f16 depth at raw camera resolution -> padded f32 planes."""
+    ph, pw = config.padded_height, config.padded_width
+    oh, ow = config.height, config.width
+    img = jnp.pad(image_u8.astype(jnp.float32), ((0, ph - oh), (0, pw - ow)))
+    dep = jnp.pad(depth_f16.astype(jnp.float32), ((0, ph - oh), (0, pw - ow)))
+    return img, dep
+
+
+def fuse_frame_compact(config: SurfelMapConfig, bank: SurfelBank,
+                       image_u8: jnp.ndarray, depth_f16: jnp.ndarray,
+                       pose: jnp.ndarray, frame_index: jnp.ndarray
+                       ) -> Tuple[SurfelBank, dict]:
+    """fuse_frame over a compact-encoded frame (decode fused into the step)."""
+    img, dep = ingest_frame(config, image_u8, depth_f16)
+    return fuse_frame(config, bank, FrameInput(
+        image=img, depth=dep, pose=pose, frame_index=frame_index))
+
+
+@functools.lru_cache(maxsize=4)
+def jitted_fuse_frame_compact(config: SurfelMapConfig):
+    return jax.jit(functools.partial(fuse_frame_compact, config),
+                   donate_argnums=(0,))
+
+
 @functools.lru_cache(maxsize=4)
 def jitted_compact(config: SurfelMapConfig):
     del config  # signature symmetry; compact_bank is shape-generic

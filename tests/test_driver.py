@@ -199,3 +199,43 @@ def test_unmatched_timestamps_stall_then_recover():
     m.feed_image(1.0, img)
     m.feed_depth(1.0, dep)
     assert m.frames_fused == 1
+
+
+def test_compact_frame_path_matches_f32():
+    """fuse_frame_compact (u8+f16 upload, on-device decode) == fuse_frame
+    for integral intensities, up to f16 depth quantization."""
+    import jax.numpy as jnp
+    import numpy as np
+    import densesurfelmapping_tpu as dsm
+    from densesurfelmapping_tpu.config import SurfelMapConfig, CameraIntrinsics
+    from densesurfelmapping_tpu.core.state import (SurfelBank, FrameInput,
+                                                   pad_frame, compact_frame)
+    from densesurfelmapping_tpu.pipeline import fuse_step
+    from densesurfelmapping_tpu.io import synthetic
+
+    cam = CameraIntrinsics(width=120, height=56, fx=80.0, fy=80.0,
+                           cx=59.5, cy=27.5)
+    cfg = SurfelMapConfig(camera=cam, surfel_capacity=4096)
+    scene = synthetic.default_scene()
+    img, dep = scene.render(cfg, np.eye(4))
+    dep = np.asarray(dep, np.float16).astype(np.float32)  # pre-quantize
+
+    pi, pd = pad_frame(cfg, img, dep)
+    bank_a, stats_a = fuse_step.jitted_fuse_frame(cfg)(
+        SurfelBank.empty(cfg.surfel_capacity),
+        FrameInput(image=jnp.asarray(pi), depth=jnp.asarray(pd),
+                   pose=jnp.eye(4, dtype=jnp.float32),
+                   frame_index=jnp.int32(0)))
+
+    ci, cd = compact_frame(cfg, img, dep)
+    bank_b, stats_b = fuse_step.jitted_fuse_frame_compact(cfg)(
+        SurfelBank.empty(cfg.surfel_capacity),
+        jnp.asarray(ci), jnp.asarray(cd),
+        jnp.eye(4, dtype=jnp.float32), jnp.int32(0))
+
+    assert int(stats_a["n_new"]) == int(stats_b["n_new"])
+    n = int(bank_a.count)
+    assert int(bank_b.count) == n
+    np.testing.assert_allclose(np.asarray(bank_a.position[:n]),
+                               np.asarray(bank_b.position[:n]),
+                               rtol=1e-6, atol=1e-6)
