@@ -1,0 +1,239 @@
+"""Command-line runner: dataset replay -> mapping -> export.
+
+The ROS-free equivalent of the reference's launch surface — the KITTI
+publisher node (`kitti_publisher/scripts/publisher.py`), the surfel_fusion
+entry node with its param block (`surfel_fusion/launch/kitti_orb.launch:5-22`,
+`src/ros_node.cpp:13-53`), and the shutdown save hook — as one CLI:
+
+    python -m densesurfelmapping_tpu synthetic --frames 120 --out /tmp/map
+    python -m densesurfelmapping_tpu kitti --root /data/kitti/00 --seq 0 \
+        --poses /data/kitti/poses/00.txt --out /tmp/kitti00 --max-frames 500
+    python -m densesurfelmapping_tpu replay --feed poses.npz --root ...
+
+Outputs per run (all optional, gated on --out): <out>.pcd stable cloud,
+<out>_mesh.ply hexagon mesh, <out>_cameras.ply frustum/pose-graph line set,
+<out>_seg.png superpixel debug render of the last frame, <out>.ckpt.npz map
+checkpoint, and a per-stage timing report on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _build_mapping(args):
+    from . import kitti_config, rgbd_config
+    from .config import SurfelMapConfig, CameraIntrinsics
+    from .pipeline.driver import SurfelMapping
+
+    if args.camera_json:
+        with open(args.camera_json) as f:
+            cfg = SurfelMapConfig.from_json(f.read())
+    elif args.profile == "rgbd":
+        cfg = rgbd_config()
+    else:
+        cfg = kitti_config(surfel_capacity=1 << args.capacity_log2)
+    return SurfelMapping(cfg, kitti_alignment=args.kitti_alignment), cfg
+
+
+def _finish(mapping, cfg, args, last_frame=None):
+    from . import viz
+
+    print(f"frames fused: {mapping.frames_fused}, "
+          f"active surfels: {int(mapping.bank.count)}, "
+          f"memory: {mapping.memory_usage_kb():.0f} KB")
+    print("stage times:", mapping.timer.report())
+    if not args.out:
+        return
+    n_cloud = mapping.save_cloud(args.out + ".pcd")
+    n_mesh = mapping.save_mesh(args.out + "_mesh.ply")
+    poses = [k.cam_pose for k in mapping.graph.keyframes]
+    edges = [(i, j) for i, k in enumerate(mapping.graph.keyframes)
+             for j in k.linked if j > i]
+    viz.save_camera_markers(args.out + "_cameras.ply", poses, cfg.camera,
+                            scale=1.0, loop_edges=edges)
+    mapping.save_checkpoint(args.out + ".ckpt.npz")
+    print(f"saved {n_cloud} cloud points -> {args.out}.pcd, "
+          f"{n_mesh} mesh surfels -> {args.out}_mesh.ply, "
+          f"{len(poses)} cameras -> {args.out}_cameras.ply, "
+          f"checkpoint -> {args.out}.ckpt.npz")
+    if last_frame is not None:
+        _save_debug_render(mapping, cfg, args, last_frame)
+
+
+def _save_debug_render(mapping, cfg, args, frame):
+    """Superpixel/normal debug view of one frame (debug_show equivalent)."""
+    import jax.numpy as jnp
+    from . import viz
+    from .core.state import pad_frame
+    from .pipeline.fuse_step import jitted_segmentation
+
+    image, depth = frame
+    pi, pd = pad_frame(cfg, image.astype(np.float32),
+                       depth.astype(np.float32))
+    seeds, assignment = jitted_segmentation(cfg)(jnp.asarray(pi),
+                                                 jnp.asarray(pd))
+    rgb = viz.render_segmentation(cfg, pi, np.asarray(assignment))
+    viz.save_png(args.out + "_seg.png", rgb)
+    print(f"segmentation render -> {args.out}_seg.png")
+
+
+def _throttle(rate_hz, t_last):
+    if rate_hz <= 0:
+        return time.perf_counter()
+    period = 1.0 / rate_hz
+    now = time.perf_counter()
+    wait = t_last + period - now
+    if wait > 0:
+        time.sleep(wait)
+    return time.perf_counter()
+
+
+def cmd_synthetic(args):
+    from .io import synthetic
+
+    mapping, cfg = _build_mapping(args)
+    scene = synthetic.default_scene()
+    if args.loop:
+        poses = synthetic.loop_trajectory(args.frames, radius=10.0)
+    else:
+        poses = synthetic.forward_trajectory(args.frames, step=0.4)
+    t_last = 0.0
+    last = None
+    t0 = time.perf_counter()
+    for i, pose in enumerate(poses):
+        img, dep = scene.render(cfg, pose)
+        stamp = i / max(args.rate, 1e-9) if args.rate > 0 else float(i)
+        mapping.feed_pose(stamp, pose, is_keyframe=(i % args.kf_every == 0))
+        mapping.feed_image(stamp, img)
+        mapping.feed_depth(stamp, dep)
+        last = (img, dep)
+        t_last = _throttle(args.rate, t_last)
+    dt = time.perf_counter() - t0
+    print(f"{args.frames} frames in {dt:.2f}s "
+          f"({args.frames / dt:.1f} fps incl. host render)")
+    _finish(mapping, cfg, args, last)
+
+
+def cmd_kitti(args):
+    from .io.kitti import KittiSequence
+
+    mapping, cfg = _build_mapping(args)
+    seq = KittiSequence(args.root, seq=args.seq, rate_hz=args.rate or 5.0,
+                        poses_file=args.poses or None,
+                        max_frames=args.max_frames or None)
+    if seq.poses is None:
+        print("error: no pose source (expected --poses or <root>/poses.txt)",
+              file=sys.stderr)
+        return 1
+    t_last = 0.0
+    last = None
+    n = 0
+    t0 = time.perf_counter()
+    for fr in seq:
+        mapping.feed_pose(fr.stamp, fr.pose,
+                          is_keyframe=(fr.index % args.kf_every == 0))
+        mapping.feed_image(fr.stamp, fr.image)
+        mapping.feed_depth(fr.stamp, fr.depth)
+        last = (fr.image, fr.depth)
+        n += 1
+        t_last = _throttle(args.rate, t_last)
+    dt = time.perf_counter() - t0
+    print(f"{n} frames in {dt:.2f}s ({n / max(dt, 1e-9):.1f} fps incl. IO)")
+    _finish(mapping, cfg, args, last)
+    return 0
+
+
+def cmd_replay(args):
+    """Replay a recorded pose feed (the fake-SLAM contract: poses, keyframe
+    flags, reference indices, loop paths/edges) against a frame source."""
+    from .io.posefeed import PoseFeed
+    from .io.kitti import KittiSequence
+
+    mapping, cfg = _build_mapping(args)
+    feed = PoseFeed.load(args.feed) if args.feed.endswith(".npz") \
+        else PoseFeed.from_tum(args.feed, keyframe_every=args.kf_every)
+    frames = iter(KittiSequence(args.root, seq=args.seq,
+                                max_frames=args.max_frames or None)) \
+        if args.root else None
+    last = None
+    for i, msg in enumerate(feed):
+        if args.max_frames and i >= args.max_frames:
+            break
+        mapping.feed_pose(msg.stamp, msg.pose, loop_path=msg.loop_path,
+                          loop_edges=msg.loop_edges,
+                          is_keyframe=msg.is_keyframe,
+                          reference_index=msg.reference_index)
+        if frames is not None:
+            try:
+                fr = next(frames)
+            except StopIteration:
+                break
+            mapping.feed_image(msg.stamp, fr.image)
+            mapping.feed_depth(msg.stamp, fr.depth)
+            last = (fr.image, fr.depth)
+    _finish(mapping, cfg, args, last)
+    return 0
+
+
+def main(argv=None):
+    from .utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    ap = argparse.ArgumentParser(
+        prog="densesurfelmapping_tpu",
+        description="TPU-native dense surfel mapping")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--out", default="", help="output path prefix")
+        p.add_argument("--rate", type=float, default=0.0,
+                       help="throttle input to N Hz (0 = as fast as possible;"
+                            " the reference publisher used 5)")
+        p.add_argument("--kf-every", type=int, default=1,
+                       help="keyframe every N frames")
+        p.add_argument("--profile", choices=("drive", "rgbd"),
+                       default="drive")
+        p.add_argument("--camera-json", default="",
+                       help="full SurfelMapConfig JSON (overrides --profile)")
+        p.add_argument("--capacity-log2", type=int, default=19)
+        p.add_argument("--kitti-alignment", action="store_true",
+                       help="apply the reference's KITTI axis alignment "
+                            "(surfel_map.cpp:214-232)")
+
+    p = sub.add_parser("synthetic", help="procedural scene demo/benchmark")
+    common(p)
+    p.add_argument("--frames", type=int, default=120)
+    p.add_argument("--loop", action="store_true",
+                   help="closed-loop trajectory")
+    p.set_defaults(fn=cmd_synthetic)
+
+    p = sub.add_parser("kitti", help="KITTI odometry sequence replay")
+    common(p)
+    p.add_argument("--root", required=True,
+                   help="sequence dir with image_0/ depth_0/")
+    p.add_argument("--seq", type=int, default=0)
+    p.add_argument("--poses", default="",
+                   help="KITTI poses txt (default <root>/poses.txt)")
+    p.add_argument("--max-frames", type=int, default=0)
+    p.set_defaults(fn=cmd_kitti)
+
+    p = sub.add_parser("replay", help="replay a recorded pose feed (npz/TUM)")
+    common(p)
+    p.add_argument("--feed", required=True, help="PoseFeed npz or TUM txt")
+    p.add_argument("--root", default="", help="optional KITTI frame source")
+    p.add_argument("--seq", type=int, default=0)
+    p.add_argument("--max-frames", type=int, default=0)
+    p.set_defaults(fn=cmd_replay)
+
+    args = ap.parse_args(argv)
+    return args.fn(args) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
