@@ -126,21 +126,33 @@ def cmd_kitti(args):
     mapping, cfg = _build_mapping(args)
     seq = KittiSequence(args.root, seq=args.seq, rate_hz=args.rate or 5.0,
                         poses_file=args.poses or None,
-                        max_frames=args.max_frames or None)
+                        max_frames=args.max_frames or None,
+                        stereo=args.stereo)
     if seq.poses is None:
         print("error: no pose source (expected --poses or <root>/poses.txt)",
               file=sys.stderr)
         return 1
+    depth_fn = None
+    if args.stereo:
+        import jax.numpy as jnp
+        from .models import stereo as stereo_model
+        scfg = stereo_model.StereoConfig(max_disparity=args.max_disparity)
+
+        def depth_fn(fr):
+            return np.asarray(stereo_model.depth_from_stereo(
+                jnp.asarray(fr.image), jnp.asarray(fr.right_image),
+                bf=seq.bf, config=scfg, max_depth=cfg.fuse_far))
     t_last = 0.0
     last = None
     n = 0
     t0 = time.perf_counter()
     for fr in seq:
+        depth = depth_fn(fr) if depth_fn else fr.depth
         mapping.feed_pose(fr.stamp, fr.pose,
                           is_keyframe=(fr.index % args.kf_every == 0))
         mapping.feed_image(fr.stamp, fr.image)
-        mapping.feed_depth(fr.stamp, fr.depth)
-        last = (fr.image, fr.depth)
+        mapping.feed_depth(fr.stamp, depth)
+        last = (fr.image, depth)
         n += 1
         t_last = _throttle(args.rate, t_last)
     dt = time.perf_counter() - t0
@@ -221,6 +233,10 @@ def main(argv=None):
     p.add_argument("--poses", default="",
                    help="KITTI poses txt (default <root>/poses.txt)")
     p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--stereo", action="store_true",
+                   help="compute depth on-device from image_0/image_1 "
+                        "(block matching) instead of loading depth_0/*.npy")
+    p.add_argument("--max-disparity", type=int, default=128)
     p.set_defaults(fn=cmd_kitti)
 
     p = sub.add_parser("replay", help="replay a recorded pose feed (npz/TUM)")

@@ -43,9 +43,10 @@ def _imread_gray(path: str) -> np.ndarray:
 class KittiFrame:
     index: int
     stamp: float
-    image: np.ndarray      # (H, W) f32 intensity
+    image: np.ndarray      # (H, W) f32 intensity (left)
     depth: np.ndarray      # (H, W) f32 metric, 0 invalid
     pose: Optional[np.ndarray]  # 4x4 Twc ground truth if available
+    right_image: Optional[np.ndarray] = None  # (H, W) f32 (stereo mode)
 
 
 class KittiSequence:
@@ -54,37 +55,49 @@ class KittiSequence:
 
     def __init__(self, root: str, seq: int = 0, rate_hz: float = 5.0,
                  poses_file: Optional[str] = None,
-                 max_frames: Optional[int] = None):
+                 max_frames: Optional[int] = None,
+                 stereo: bool = False):
+        """stereo=True: skip the precomputed depth_0/ disparity files and
+        yield the raw left/right pair instead (depth all-invalid) — the
+        caller computes depth on-device via models.stereo."""
         self.root = root
         self.bf = bf_for_sequence(seq)
         self.rate = rate_hz
         self.max_frames = max_frames
+        self.stereo = stereo
         self.poses = None
         poses_file = poses_file or os.path.join(root, "poses.txt")
         if os.path.exists(poses_file):
             self.poses = load_kitti_poses(poses_file)
 
-    def frame_paths(self, i: int) -> Tuple[str, str]:
+    def frame_paths(self, i: int) -> Tuple[str, str, str]:
         return (os.path.join(self.root, "image_0", f"{i:06d}.png"),
+                os.path.join(self.root, "image_1", f"{i:06d}.png"),
                 os.path.join(self.root, "depth_0", f"{i:06d}.npy"))
 
     def __iter__(self) -> Iterator[KittiFrame]:
         i = 0
         while self.max_frames is None or i < self.max_frames:
-            img_path, depth_path = self.frame_paths(i)
-            if not (os.path.exists(img_path) and os.path.exists(depth_path)):
+            img_path, right_path, depth_path = self.frame_paths(i)
+            need = [img_path, right_path if self.stereo else depth_path]
+            if not all(os.path.exists(p) for p in need):
                 return
             image = _imread_gray(img_path).astype(np.float32)
-            disparity = np.load(depth_path)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                depth = self.bf / disparity
-            depth = np.where(np.isfinite(depth) & (depth > 0), depth, 0.0)
+            right = None
+            if self.stereo:
+                right = _imread_gray(right_path).astype(np.float32)
+                depth = np.zeros_like(image)
+            else:
+                disparity = np.load(depth_path)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    depth = self.bf / disparity
+                depth = np.where(np.isfinite(depth) & (depth > 0), depth, 0.0)
             pose = None
             if self.poses is not None and i < len(self.poses):
                 pose = self.poses[i]
             yield KittiFrame(index=i, stamp=i / self.rate,
                              image=image, depth=depth.astype(np.float32),
-                             pose=pose)
+                             pose=pose, right_image=right)
             i += 1
 
 

@@ -33,6 +33,9 @@ class Scene:
     boxes: List[Box] = dataclasses.field(default_factory=list)
     max_depth: float = 29.0
     intensity_freq: Tuple[float, float] = (0.23, 0.31)
+    texture: str = "default"   # "default" | "multisine" (aperiodic; for
+    #                            stereo-matching tests where the periodic
+    #                            default texture would be ambiguous)
 
     def render(self, config: SurfelMapConfig, pose: np.ndarray,
                depth_noise: float = 0.0, seed: int = 0):
@@ -78,9 +81,18 @@ class Scene:
         # world-anchored texture so intensity is view-consistent
         safe_z = np.where(np.isfinite(zdepth), zdepth, 0.0)
         pts = org + rays * safe_z[..., None]
-        fx_, fy_ = self.intensity_freq
-        tex = 128 + 55 * np.sin(pts[..., 0] * 7 * fx_) \
-            * np.cos(pts[..., 2] * 9 * fy_) + 30 * np.sin(pts[..., 1] * 5)
+        X, Y, Z = pts[..., 0], pts[..., 1], pts[..., 2]
+        if self.texture == "multisine":
+            # incommensurate frequencies -> locally unique appearance
+            tex = 128 + 36 * (np.sin(1.7 * X + 0.3) * np.sin(2.9 * Z + 1.1)
+                              + np.sin(5.3 * X + 4.1) * np.sin(0.73 * Z)
+                              + np.sin(3.1 * X + 1.9 * Z)
+                              + 0.7 * np.sin(8.9 * X - 3.7 * Z + 2.0)) / 1.6 \
+                + 18 * np.sin(4.3 * Y + 0.7)
+        else:
+            fx_, fy_ = self.intensity_freq
+            tex = 128 + 55 * np.sin(X * 7 * fx_) * np.cos(Z * 9 * fy_) \
+                + 30 * np.sin(Y * 5)
         image = np.floor(np.where(depth > 0, tex, 20.0)).clip(0, 255)
 
         if depth_noise:

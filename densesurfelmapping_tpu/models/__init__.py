@@ -1,0 +1,1 @@
+from .stereo import StereoConfig, disparity, depth_from_stereo
