@@ -101,8 +101,16 @@ class SurfelMapConfig:
     #     std::vector dynamic growth with fixed-capacity device arrays) ---
     surfel_capacity: int = 1 << 19      # active surfel SoA rows
     new_surfel_buffer: int = 0          # 0 => derived from sp grid
-    migration_buffer: int = 1 << 17     # max surfels moved per migration call
+    migration_buffer: int = 1 << 15     # max surfels moved per migration call
     compaction_slack: int = 1 << 16     # dead rows tolerated before repack
+
+    # --- host/device interface ---
+    # frames ride to the device as u8 intensity + f16 depth (<=0.05% depth
+    # quantization, far inside the association gates) instead of 2x f32
+    compact_upload: bool = True
+    # fuse-step stats (and the compaction decision) sync device->host every
+    # N frames; each sync is a blocking transfer, so N amortizes RPC latency
+    stats_interval: int = 8
 
     # padding alignment for the image tensors
     lane_align: int = 128

@@ -68,7 +68,9 @@ class SurfelMapping:
         self._kitti_alignment = kitti_alignment
         self._alignment: Optional[np.ndarray] = None
 
+        from .fuse_step import jitted_fuse_frame_compact
         self._fuse = jitted_fuse_frame(config)
+        self._fuse_compact = jitted_fuse_frame_compact(config)
         self._compact = jitted_compact(config)
         self._append = _jitted_append(config.migration_buffer)
         self._warp_active = warp_ops.warp_active
@@ -81,7 +83,8 @@ class SurfelMapping:
         self.stamp_tolerance = 1e-6
 
         self.frames_fused = 0
-        self.last_stats: Dict[str, int] = {}
+        self.last_stats: Dict[str, int] = {}   # refreshed every stats sync
+        self._stats_dev: Dict[str, jnp.ndarray] = {}
 
     # ------------------------------------------------------------------
     # inputs (reference: image_input/depth_input/orb_results_input)
@@ -178,26 +181,45 @@ class SurfelMapping:
             self.depth_buffer.popleft()
 
     def _fuse_frame(self, image, depth, pose, ref_index: int) -> None:
-        pi, pd = pad_frame(self.config, np.asarray(image, np.float32),
-                           np.asarray(depth, np.float32))
-        frame = FrameInput(
-            image=jnp.asarray(pi), depth=jnp.asarray(pd),
-            pose=jnp.asarray(pose, jnp.float32).reshape(4, 4),
-            frame_index=jnp.int32(ref_index))
-        self.bank, stats = self._fuse(self.bank, frame)
-        self.last_stats = {k: int(v) for k, v in stats.items()}
+        pose_dev = jnp.asarray(np.asarray(pose, np.float32).reshape(4, 4))
+        if self.config.compact_upload:
+            from ..core.state import compact_frame
+            ci, cd = compact_frame(
+                self.config,
+                np.clip(np.asarray(image), 0, 255),
+                np.clip(np.asarray(depth, np.float32), 0.0, 6e4))
+            self.bank, stats = self._fuse_compact(
+                self.bank, jnp.asarray(ci), jnp.asarray(cd), pose_dev,
+                jnp.int32(ref_index))
+        else:
+            pi, pd = pad_frame(self.config, np.asarray(image, np.float32),
+                               np.asarray(depth, np.float32))
+            frame = FrameInput(
+                image=jnp.asarray(pi), depth=jnp.asarray(pd),
+                pose=pose_dev, frame_index=jnp.int32(ref_index))
+            self.bank, stats = self._fuse(self.bank, frame)
+        self._stats_dev = stats   # device values; synced on stats frames
         self.frames_fused += 1
-        self._maybe_compact()
+        if self.frames_fused % self.config.stats_interval == 0:
+            self.sync_stats()
+            self._maybe_compact()
+
+    def sync_stats(self) -> Dict[str, int]:
+        """Blocking device->host fetch of the latest fuse-step stats."""
+        if self._stats_dev:
+            self.last_stats = {k: int(v) for k, v in self._stats_dev.items()}
+        return self.last_stats
 
     def _maybe_compact(self) -> None:
         """Repack the bank when dead holes exceed the slack or the tail
-        lacks headroom for the next frame's append slab."""
+        lacks headroom for the frames until the next stats sync."""
         st = self.last_stats
         count = int(self.bank.count)
         live = st.get("n_live", 0) + st.get("n_new", 0)
         slab = self.config.new_capacity
-        need_room = count > self.bank.capacity - 2 * max(
-            slab, self.config.migration_buffer)
+        margin = (self.config.stats_interval + 1) * slab \
+            + self.config.migration_buffer
+        need_room = count > self.bank.capacity - margin
         if (count - live > self.config.compaction_slack) or need_room \
                 or st.get("n_dropped", 0) > 0:
             self.bank = self._compact(self.bank)
@@ -222,7 +244,10 @@ class SurfelMapping:
                     n = int(n)
                     if n == 0:
                         break
-                    host = {k: np.asarray(v[:n]) for k, v in buf.items()}
+                    # transfer the full static-shape buffer and slice on
+                    # host: a device-side v[:n] would compile a fresh slice
+                    # executable for every distinct n
+                    host = {k: np.asarray(v)[:n] for k, v in buf.items()}
                     for pose_id in chunk:
                         sel = host["last_update"] == pose_id
                         if sel.any():
@@ -280,10 +305,10 @@ class SurfelMapping:
             min_updates = self.config.stable_update_times
         n = int(self.bank.count)
         out = {}
-        ut = np.asarray(self.bank.update_times[:n])
+        ut = np.asarray(self.bank.update_times)[:n]
         sel = ut >= min_updates
         for name, arr in self.bank.field_arrays():
-            out[name] = np.asarray(arr[:n])[sel]
+            out[name] = np.asarray(arr)[:n][sel]
         return out
 
     def inactive_surfels(self) -> dict:
@@ -322,7 +347,7 @@ class SurfelMapping:
     # ------------------------------------------------------------------
     def save_checkpoint(self, path: str) -> None:
         n = int(self.bank.count)
-        data = {f"bank_{k}": np.asarray(v[:n])
+        data = {f"bank_{k}": np.asarray(v)[:n]
                 for k, v in self.bank.field_arrays()}
         data["bank_count"] = np.int64(n)
         g = self.graph

@@ -87,9 +87,8 @@ class InactivePool:
                       (p_pad - len(idxs), 1, 1))
         sel = np.concatenate([sel, eye]) if len(eye) else sel
         new_p, new_n = warp_fn(pos, nrm, owner, sel)
-        new_p, new_n = new_p[:total], new_n[:total]
-        new_p = np.asarray(new_p)
-        new_n = np.asarray(new_n)
+        new_p = np.asarray(new_p)[:total]
+        new_n = np.asarray(new_n)[:total]
         off = 0
         for i, c in zip(idxs, counts):
             self.slabs[i]["position"] = new_p[off:off + c]
