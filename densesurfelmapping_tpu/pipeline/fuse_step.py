@@ -78,6 +78,31 @@ def jitted_fuse_frame_compact(config: SurfelMapConfig):
                    donate_argnums=(0,))
 
 
+def fuse_frames_scan(config: SurfelMapConfig, bank: SurfelBank,
+                     images_u8: jnp.ndarray, depths_f16: jnp.ndarray,
+                     poses: jnp.ndarray, frame_indices: jnp.ndarray
+                     ) -> Tuple[SurfelBank, dict]:
+    """Fuse a CHUNK of compact frames sequentially in one device program.
+
+    Offline/batch replay mode: `lax.scan` over stacked frames (leading axis
+    N) amortizes per-frame dispatch + upload latency; semantics identical
+    to N successive `fuse_frame_compact` calls.  Returns (bank', stats
+    stacked (N,) per frame)."""
+    def body(bank, frame):
+        img, dep, pose, fidx = frame
+        bank, stats = fuse_frame_compact(config, bank, img, dep, pose, fidx)
+        return bank, stats
+
+    return jax.lax.scan(body, bank,
+                        (images_u8, depths_f16, poses, frame_indices))
+
+
+@functools.lru_cache(maxsize=4)
+def jitted_fuse_frames_scan(config: SurfelMapConfig):
+    return jax.jit(functools.partial(fuse_frames_scan, config),
+                   donate_argnums=(0,))
+
+
 @functools.lru_cache(maxsize=4)
 def jitted_compact(config: SurfelMapConfig):
     del config  # signature symmetry; compact_bank is shape-generic

@@ -239,3 +239,42 @@ def test_compact_frame_path_matches_f32():
     np.testing.assert_allclose(np.asarray(bank_a.position[:n]),
                                np.asarray(bank_b.position[:n]),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_fuse_frames_scan_matches_sequential():
+    """Batch scan mode == N sequential compact fuse calls."""
+    import jax.numpy as jnp
+    import numpy as np
+    from densesurfelmapping_tpu.config import SurfelMapConfig, CameraIntrinsics
+    from densesurfelmapping_tpu.core.state import SurfelBank, compact_frame
+    from densesurfelmapping_tpu.pipeline import fuse_step
+    from densesurfelmapping_tpu.io import synthetic
+
+    cam = CameraIntrinsics(width=120, height=56, fx=80.0, fy=80.0,
+                           cx=59.5, cy=27.5)
+    cfg = SurfelMapConfig(camera=cam, surfel_capacity=8192)
+    scene = synthetic.default_scene()
+    poses = synthetic.forward_trajectory(4, step=0.3)
+    cis, cds, ps = [], [], []
+    for pose in poses:
+        img, dep = scene.render(cfg, pose)
+        ci, cd = compact_frame(cfg, img, dep)
+        cis.append(ci), cds.append(cd), ps.append(pose.astype(np.float32))
+
+    seq_bank = SurfelBank.empty(cfg.surfel_capacity)
+    step = fuse_step.jitted_fuse_frame_compact(cfg)
+    for i in range(4):
+        seq_bank, _ = step(seq_bank, jnp.asarray(cis[i]), jnp.asarray(cds[i]),
+                           jnp.asarray(ps[i]), jnp.int32(i))
+
+    scan_bank, stats = fuse_step.jitted_fuse_frames_scan(cfg)(
+        SurfelBank.empty(cfg.surfel_capacity),
+        jnp.asarray(np.stack(cis)), jnp.asarray(np.stack(cds)),
+        jnp.asarray(np.stack(ps)), jnp.arange(4, dtype=jnp.int32))
+
+    assert int(scan_bank.count) == int(seq_bank.count)
+    n = int(seq_bank.count)
+    np.testing.assert_allclose(np.asarray(seq_bank.position[:n]),
+                               np.asarray(scan_bank.position[:n]),
+                               rtol=1e-6, atol=1e-6)
+    assert stats["n_new"].shape == (4,)
