@@ -101,9 +101,17 @@ class PoseGraph:
 
     def driftfree_window(self, root: int, radius: int) -> List[int]:
         """BFS over linked edges, depth < radius, root first
-        (`get_driftfree_poses`, `surfel_map.cpp:1643-1674`)."""
+        (`get_driftfree_poses`, `surfel_map.cpp:1643-1674`).
+
+        Dispatches to the native C++ BFS for large graphs; pure-Python
+        fallback otherwise (and for small graphs where ctypes marshalling
+        costs more than the walk)."""
         if root >= len(self.keyframes):
             return []
+        if len(self.keyframes) >= 512:
+            out = self._native_bfs(root, radius)
+            if out is not None:
+                return out
         seen = [root]
         seen_set = {root}
         level = [root]
@@ -117,6 +125,20 @@ class PoseGraph:
                         nxt.append(nb)
             level = nxt
         return seen
+
+    def _native_bfs(self, root: int, radius: int) -> Optional[List[int]]:
+        """CSR adjacency -> native/surfel_native.cpp dsm_bfs."""
+        from ..native import loader as native
+        if not native.available():
+            return None
+        degrees = np.array([len(kf.linked) for kf in self.keyframes],
+                           np.int64)
+        indptr = np.zeros(len(self.keyframes) + 1, np.int64)
+        np.cumsum(degrees, out=indptr[1:])
+        indices = np.concatenate(
+            [np.asarray(kf.linked, np.int64) for kf in self.keyframes]) \
+            if indptr[-1] else np.zeros(0, np.int64)
+        return [int(i) for i in native.bfs(indptr, indices, root, radius)]
 
     def add_remove_sets(self, root: int, radius: int,
                         local: Set[int]) -> Tuple[List[int], List[int]]:

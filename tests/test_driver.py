@@ -278,3 +278,41 @@ def test_fuse_frames_scan_matches_sequential():
                                np.asarray(scan_bank.position[:n]),
                                rtol=1e-6, atol=1e-6)
     assert stats["n_new"].shape == (4,)
+
+
+def test_native_bfs_matches_python():
+    """The C++ BFS and the Python BFS walk identical windows."""
+    import numpy as np
+    from densesurfelmapping_tpu.pipeline.pose_graph import PoseGraph
+    from densesurfelmapping_tpu.native import loader as native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(3)
+    g = PoseGraph()
+    for i in range(600):
+        g.add_keyframe(np.eye(4), float(i),
+                       reference_index=i - 1 if i else None)
+    # random extra loop edges
+    edges = rng.integers(0, 600, size=(120, 2))
+    g.add_loop_edges([tuple(e) for e in edges if e[0] != e[1]])
+
+    for root in (0, 37, 599):
+        for radius in (1, 3, 10):
+            nat = g._native_bfs(root, radius)
+            # python walk (bypass the size dispatch by inlining small logic)
+            seen = [root]
+            seen_set = {root}
+            level = [root]
+            for _ in range(1, radius):
+                nxt = []
+                for node in level:
+                    for nb in g.keyframes[node].linked:
+                        if nb not in seen_set:
+                            seen_set.add(nb)
+                            seen.append(nb)
+                            nxt.append(nb)
+                level = nxt
+            assert nat == seen, (root, radius)
