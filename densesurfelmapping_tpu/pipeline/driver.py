@@ -336,6 +336,43 @@ class SurfelMapping:
         from ..io import export
         return export.save_mesh_ply(path, self.mesh_surfels(), binary=binary)
 
+    def raw_pointcloud(self, depth: np.ndarray, pose: np.ndarray,
+                       image: Optional[np.ndarray] = None) -> dict:
+        """Back-projected world-frame cloud of one raw depth frame — the
+        reference's `raw_pointcloud` debug topic (`surfel_map.cpp:56-63`,
+        publish of the unfused input).  Host numpy; not on the hot path."""
+        cam = self.config.camera
+        depth = np.asarray(depth, np.float32)
+        h, w = depth.shape
+        vs, us = np.mgrid[0:h, 0:w]
+        valid = depth > 0.01
+        z = depth[valid]
+        x = (us[valid] - cam.cx) / cam.fx * z
+        y = (vs[valid] - cam.cy) / cam.fy * z
+        pts = np.stack([x, y, z], axis=1)
+        T = np.asarray(pose, np.float64)
+        world = pts @ T[:3, :3].T + T[:3, 3]
+        out = {"position": world.astype(np.float32)}
+        if image is not None:
+            out["color"] = np.asarray(image, np.float32)[valid]
+        return out
+
+    def fusion_path(self) -> List[np.ndarray]:
+        """Loop-corrected poses of every keyframe (`fusion_loop_path`)."""
+        return [kf.loop_pose.copy() for kf in self.graph.keyframes]
+
+    def driftfree_path(self) -> List[np.ndarray]:
+        """Poses of the current active (drift-free) window
+        (`driftfree_loop_path`)."""
+        return [self.graph.keyframes[i].loop_pose.copy()
+                for i in sorted(self.local_indices)
+                if i < len(self.graph.keyframes)]
+
+    def loop_edges(self) -> List[Tuple[int, int]]:
+        """Deduplicated loop/covisibility edges (`loop_marker` content)."""
+        return [(i, j) for i, kf in enumerate(self.graph.keyframes)
+                for j in kf.linked if j > i]
+
     def memory_usage_kb(self) -> float:
         """`calculate_memory_usage` (surfel_map.cpp:895-904) equivalent."""
         bank_bytes = sum(np.asarray(a).nbytes

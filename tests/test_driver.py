@@ -316,3 +316,28 @@ def test_native_bfs_matches_python():
                             nxt.append(nb)
                 level = nxt
             assert nat == seen, (root, radius)
+
+
+def test_topic_parity_readouts():
+    """raw_pointcloud / fusion_path / driftfree_path / loop_edges match the
+    reference's published topic contents."""
+    import numpy as np
+    cfg = tiny_config(drift_free_poses=2)
+    m = SurfelMapping(cfg)
+    for i in range(4):
+        pose = np.eye(4)
+        pose[0, 3] = 0.4 * i
+        img, dep = render_plane(cfg, pose)
+        feed_frame(m, float(i), pose, img, dep, is_keyframe=True)
+
+    raw = m.raw_pointcloud(dep, pose, img)
+    n_valid = (dep > 0.01).sum()
+    assert raw["position"].shape == (n_valid, 3)
+    assert raw["color"].shape == (n_valid,)
+    # plane at z=4 viewed from x=1.2: world z must be ~4
+    np.testing.assert_allclose(raw["position"][:, 2], 4.0, atol=1e-3)
+
+    assert len(m.fusion_path()) == 4
+    np.testing.assert_allclose([p[0, 3] for p in m.driftfree_path()],
+                               [0.8, 1.2])
+    assert all(a < b for a, b in m.loop_edges())
