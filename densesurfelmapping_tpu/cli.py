@@ -19,7 +19,6 @@ checkpoint, and a per-stage timing report on stdout.
 from __future__ import annotations
 
 import argparse
-import json
 import sys
 import time
 
@@ -28,7 +27,7 @@ import numpy as np
 
 def _build_mapping(args):
     from . import kitti_config, rgbd_config
-    from .config import SurfelMapConfig, CameraIntrinsics
+    from .config import SurfelMapConfig
     from .pipeline.driver import SurfelMapping
 
     if args.camera_json:

@@ -25,7 +25,6 @@ from ..config import SurfelMapConfig
 from ..core import geometry
 from ..core.state import FrameInput, SurfelBank, pad_frame
 from ..ops import migration, warp as warp_ops
-from ..ops.fusion import compact_and_append
 from ..utils.timing import StageTimer
 from .fuse_step import jitted_fuse_frame, jitted_compact
 from .inactive_pool import InactivePool, FIELDS
