@@ -84,17 +84,45 @@ class SurfelMapping:
         self.frames_fused = 0
         self.last_stats: Dict[str, int] = {}   # refreshed every stats sync
         self._stats_dev: Dict[str, jnp.ndarray] = {}
+        self.max_buffered = 5000   # reference queue depth (ros_node.cpp:24)
+        self.dropped = collections.Counter()
 
     # ------------------------------------------------------------------
     # inputs (reference: image_input/depth_input/orb_results_input)
     # ------------------------------------------------------------------
+    def _check_frame(self, kind: str, arr: np.ndarray) -> None:
+        """Failure detection the reference lacks (SURVEY.md §5): shape
+        validation up front; NaN/Inf depth is sanitized, not fused."""
+        expect = (self.config.height, self.config.width)
+        if np.shape(arr) != expect:
+            raise ValueError(
+                f"{kind} shape {np.shape(arr)} != camera {expect}")
+
     def feed_image(self, stamp: float, image: np.ndarray) -> None:
+        self._check_frame("image", image)
         self.image_buffer.append((float(stamp), image))
+        self._trim_buffers()
         self._synchronize()
 
     def feed_depth(self, stamp: float, depth: np.ndarray) -> None:
+        self._check_frame("depth", depth)
+        depth = np.asarray(depth)
+        if not np.isfinite(depth).all():
+            depth = np.where(np.isfinite(depth), depth, 0.0)
+            self.dropped["nonfinite_depth_px"] += 1
         self.depth_buffer.append((float(stamp), depth))
+        self._trim_buffers()
         self._synchronize()
+
+    def _trim_buffers(self) -> None:
+        """Bound buffer growth (the reference used 5000-deep ROS queues,
+        `ros_node.cpp:24-31`); oldest entries drop first."""
+        for name, buf in (("images", self.image_buffer),
+                          ("depths", self.depth_buffer),
+                          ("poses", self.pose_buffer)):
+            while len(buf) > self.max_buffered:
+                buf.popleft()
+                self.dropped[name] += 1
 
     def feed_pose(self, stamp: float, pose: np.ndarray,
                   loop_path: Optional[Sequence[np.ndarray]] = None,
@@ -152,11 +180,12 @@ class SurfelMapping:
     # ------------------------------------------------------------------
     # sync + fuse (reference: synchronize_msgs, surfel_map.cpp:103-203)
     # ------------------------------------------------------------------
-    def _match_front(self, buffer, stamp):
+    def _match_front(self, buffer, stamp, name):
         while buffer:
             t = buffer[0][0]
             if t < stamp - self.stamp_tolerance:
                 buffer.popleft()
+                self.dropped[name] += 1   # pre-pose data, never fused
             elif abs(t - stamp) <= self.stamp_tolerance:
                 return buffer[0]
             else:
@@ -166,8 +195,8 @@ class SurfelMapping:
     def _synchronize(self) -> None:
         while self.pose_buffer:
             stamp, rel, ref = self.pose_buffer[0]
-            img = self._match_front(self.image_buffer, stamp)
-            dep = self._match_front(self.depth_buffer, stamp)
+            img = self._match_front(self.image_buffer, stamp, "images")
+            dep = self._match_front(self.depth_buffer, stamp, "depths")
             if img is None or dep is None:
                 return
             fuse_pose = self.graph.keyframes[ref].cam_pose @ rel
@@ -371,6 +400,26 @@ class SurfelMapping:
         """Deduplicated loop/covisibility edges (`loop_marker` content)."""
         return [(i, j) for i, kf in enumerate(self.graph.keyframes)
                 for j in kf.linked if j > i]
+
+    def metrics(self) -> Dict[str, float]:
+        """Observability snapshot: throughput counters, drop counters,
+        buffer depths, stage means (ms), memory (the reference's printf
+        telemetry, `surfel_map.cpp:895-904` + timing prints, as data)."""
+        out: Dict[str, float] = {
+            "frames_fused": self.frames_fused,
+            "keyframes": len(self.graph),
+            "active_count": int(self.bank.count),
+            "inactive_count": len(self.pool),
+            "buffered_images": len(self.image_buffer),
+            "buffered_depths": len(self.depth_buffer),
+            "buffered_poses": len(self.pose_buffer),
+            "memory_kb": self.memory_usage_kb(),
+        }
+        for k, v in self.dropped.items():
+            out[f"dropped_{k}"] = v
+        for k, v in self.timer.means_ms().items():
+            out[f"stage_ms_{k}"] = v
+        return out
 
     def memory_usage_kb(self) -> float:
         """`calculate_memory_usage` (surfel_map.cpp:895-904) equivalent."""

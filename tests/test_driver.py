@@ -341,3 +341,34 @@ def test_topic_parity_readouts():
     np.testing.assert_allclose([p[0, 3] for p in m.driftfree_path()],
                                [0.8, 1.2])
     assert all(a < b for a, b in m.loop_edges())
+
+
+def test_input_validation_and_drop_accounting():
+    import numpy as np
+    import pytest as _pytest
+    cfg = tiny_config()
+    m = SurfelMapping(cfg)
+    with _pytest.raises(ValueError):
+        m.feed_image(0.0, np.zeros((10, 10), np.float32))
+    pose = np.eye(4)
+    img, dep = render_plane(cfg, pose)
+    # non-finite depth is sanitized, not fused as garbage
+    bad = dep.copy()
+    bad[0, 0] = np.nan
+    bad[1, 1] = np.inf
+    m.feed_pose(0.0, pose, is_keyframe=True)
+    m.feed_image(0.0, img)
+    m.feed_depth(0.0, bad)
+    assert m.frames_fused == 1
+    assert m.dropped["nonfinite_depth_px"] == 1
+    assert not np.isnan(np.asarray(m.bank.position)).any()
+    # stale image (stamp older than next pose) is dropped and counted
+    m.feed_image(0.5, img)
+    m.feed_pose(1.0, pose, is_keyframe=False)
+    m.feed_image(1.0, img)
+    m.feed_depth(1.0, dep)
+    assert m.frames_fused == 2
+    assert m.dropped["images"] == 1
+    metr = m.metrics()
+    assert metr["frames_fused"] == 2 and metr["dropped_images"] == 1
+    assert metr["active_count"] > 0
