@@ -104,6 +104,7 @@ def cmd_synthetic(args):
         poses = synthetic.forward_trajectory(args.frames, step=0.4)
     t_last = 0.0
     last = None
+    eval_set = []
     t0 = time.perf_counter()
     for i, pose in enumerate(poses):
         img, dep = scene.render(cfg, pose)
@@ -112,10 +113,19 @@ def cmd_synthetic(args):
         mapping.feed_image(stamp, img)
         mapping.feed_depth(stamp, dep)
         last = (img, dep)
+        if args.eval and i % max(args.frames // 8, 1) == 0:
+            eval_set.append(((img, dep), pose))
         t_last = _throttle(args.rate, t_last)
     dt = time.perf_counter() - t0
     print(f"{args.frames} frames in {dt:.2f}s "
           f"({args.frames / dt:.1f} fps incl. host render)")
+    if args.eval:
+        import json
+        from .eval import evaluate_map
+        res = evaluate_map(mapping, [f for f, _ in eval_set],
+                           [p for _, p in eval_set])
+        print("fidelity:", json.dumps({k: round(v, 4)
+                                       for k, v in res.items()}))
     _finish(mapping, cfg, args, last)
 
 
@@ -222,6 +232,9 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=120)
     p.add_argument("--loop", action="store_true",
                    help="closed-loop trajectory")
+    p.add_argument("--eval", action="store_true",
+                   help="score the final map against ground-truth depth "
+                        "(rendered-map coverage/MAE/inliers)")
     p.set_defaults(fn=cmd_synthetic)
 
     p = sub.add_parser("kitti", help="KITTI odometry sequence replay")

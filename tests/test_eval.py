@@ -1,0 +1,74 @@
+"""Map-fidelity harness tests: splat rendering + metrics on synthetic GT."""
+
+import numpy as np
+import pytest
+
+from densesurfelmapping_tpu.config import SurfelMapConfig, CameraIntrinsics
+from densesurfelmapping_tpu.eval import render_depth, depth_metrics, evaluate_map
+from densesurfelmapping_tpu.pipeline.driver import SurfelMapping
+from densesurfelmapping_tpu.io import synthetic
+
+
+CAM = CameraIntrinsics(width=120, height=56, fx=80.0, fy=80.0,
+                       cx=59.5, cy=27.5)
+
+
+def test_render_depth_single_surfel():
+    cfg = SurfelMapConfig(camera=CAM, surfel_capacity=1024)
+    surfels = {
+        "position": np.array([[0.0, 0.0, 5.0]], np.float32),
+        "normal": np.array([[0.0, 0.0, -1.0]], np.float32),
+        "size": np.array([0.5], np.float32),   # big radius -> 2px footprint
+    }
+    d = render_depth(cfg, surfels, np.eye(4))
+    cy, cx = int(CAM.cy + 0.5), int(CAM.cx + 0.5)
+    assert d[cy, cx] == pytest.approx(5.0)
+    assert d[cy + 1, cx] == pytest.approx(5.0)   # footprint splat
+    assert (d > 0).sum() == 49                   # radius-4 Euclidean disk
+    # behind-camera surfel renders nothing
+    surfels["position"][0, 2] = -5.0
+    assert (render_depth(cfg, surfels, np.eye(4)) > 0).sum() == 0
+
+
+def test_depth_metrics():
+    gt = np.full((4, 4), 10.0, np.float32)
+    gt[0, 0] = 0.0
+    r = gt.copy()
+    r[1, 1] = 10.05
+    r[2, 2] = 0.0
+    m = depth_metrics(r, gt)
+    assert m["gt_pixels"] == 15
+    assert m["coverage"] == pytest.approx(14 / 15)
+    assert m["mae"] == pytest.approx(0.05 / 14, rel=1e-3)  # f32 sum
+    assert m["inlier_0p1m"] == 1.0
+
+
+def test_end_to_end_map_fidelity():
+    """Map a synthetic scene, then re-render the map: high coverage and
+    centimeter-level agreement with ground-truth depth.
+
+    Geometry note: at this test focal length a 16x16-px seed window spans a
+    large world footprint, so grazing surfaces (the ground plane at range)
+    legitimately fail the reference's 80%-inlier plane gate.  The scene is
+    therefore wall-dominated — near-frontoparallel, like the KITTI facades
+    the full-resolution pipeline reconstructs."""
+    wall_cam = CameraIntrinsics(width=120, height=56, fx=160.0, fy=160.0,
+                                cx=59.5, cy=27.5)
+    cfg = SurfelMapConfig(camera=wall_cam, surfel_capacity=32768,
+                          stable_update_times=3)
+    scene = synthetic.Scene(ground_y=1.5, wall_z=12.0, boxes=[],
+                            max_depth=25.0)
+    poses = synthetic.forward_trajectory(8, step=0.3)
+    m = SurfelMapping(cfg)
+    frames = []
+    for i, pose in enumerate(poses):
+        img, dep = scene.render(cfg, pose)
+        frames.append((img, dep))
+        m.feed_pose(float(i), pose, is_keyframe=True)
+        m.feed_image(float(i), img)
+        m.feed_depth(float(i), dep)
+
+    res = evaluate_map(m, frames[3:6], poses[3:6])
+    assert res["coverage"] > 0.5, res
+    assert res["mae"] < 0.25, res
+    assert res["inlier_1pct"] > 0.6, res
