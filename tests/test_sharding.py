@@ -96,3 +96,43 @@ def test_mesh_shapes():
     assert mesh.shape == {"data": 4, "surfel": 2}
     mesh = sharding.make_mesh(8)
     assert mesh.shape == {"data": 1, "surfel": 8}
+
+
+def test_multistream_matches_single():
+    """Batched multi-session fuse == each stream fused alone."""
+    import numpy as np
+    import jax.numpy as jnp
+    from densesurfelmapping_tpu.config import SurfelMapConfig, CameraIntrinsics
+    from densesurfelmapping_tpu.core.state import SurfelBank, compact_frame
+    from densesurfelmapping_tpu.pipeline import fuse_step
+    from densesurfelmapping_tpu.parallel import multistream
+    from densesurfelmapping_tpu.io import synthetic
+
+    cam = CameraIntrinsics(width=120, height=56, fx=80.0, fy=80.0,
+                           cx=59.5, cy=27.5)
+    cfg = SurfelMapConfig(camera=cam, surfel_capacity=8192)
+    scene = synthetic.default_scene()
+
+    frames = []
+    for s in range(2):
+        pose = np.eye(4)
+        pose[0, 3] = 0.5 * s
+        img, dep = scene.render(cfg, pose)
+        ci, cd = compact_frame(cfg, img, dep)
+        frames.append((ci, cd, pose.astype(np.float32), s))
+
+    banks = multistream.make_banks(cfg, 2)
+    banks, stats = multistream.batched_fuse_step(cfg)(
+        banks, *multistream.stack_frames(frames))
+
+    step = fuse_step.jitted_fuse_frame_compact(cfg)
+    for s in range(2):
+        ci, cd, ps, fi = frames[s]
+        solo, _ = step(SurfelBank.empty(cfg.surfel_capacity),
+                       jnp.asarray(ci), jnp.asarray(cd), jnp.asarray(ps),
+                       jnp.int32(fi))
+        assert int(banks.count[s]) == int(solo.count)
+        n = int(solo.count)
+        np.testing.assert_allclose(np.asarray(banks.position[s, :n]),
+                                   np.asarray(solo.position[:n]),
+                                   rtol=1e-6, atol=1e-6)
