@@ -11,7 +11,8 @@ TPU-native re-design of `calculate_norms` (`fusion_functions.cpp:916-958`):
 
 The reference accumulates the GN normal equations in float64 Eigen types; we
 run float32 (TPU-native) with the same +5*I damping — parity is checked by
-golden tests at tolerance (see tests/test_normals.py).
+golden tests at tolerance (tests/test_golden_superpixel.py::
+test_plane_fit_matches / test_pixel_normals_match).
 """
 
 from __future__ import annotations

@@ -118,6 +118,69 @@ def _bank_pspec() -> SurfelBank:
         last_update=P("data", "surfel"), count=P("data", "surfel"))
 
 
+@functools.lru_cache(maxsize=4)
+def sharded_compact(config: SurfelMapConfig, mesh: Mesh):
+    """Per-shard hole elimination: every (stream, shard) repacks its own
+    rows independently — compaction never crosses shard boundaries, so no
+    collective is needed."""
+    del config  # shape-generic
+
+    def body(banks):
+        b = banks.replace(count=banks.count[:, 0])
+        b = jax.vmap(fusion.compact_bank)(b)
+        return b.replace(count=b.count[:, None])
+
+    spec = _bank_pspec()
+    return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=(spec,),
+                                 out_specs=spec), donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=4)
+def sharded_extract_by_pose(config: SurfelMapConfig, mesh: Mesh,
+                            buffer_size: int):
+    """Sharded active->inactive migration extract: each (stream, shard)
+    matches the removed pose ids against its own rows and compacts hits
+    into its slice of a (B, n_shards * buffer_size) host-bound buffer.
+
+    Call: (banks, pose_ids (MAX_REMOVE_POSES,)) -> (banks', buffers dict,
+    counts (B, n_shards)).  Partition of the single-device semantics: the
+    union of shard buffers equals the single-device extraction."""
+    from ..ops.migration import extract_by_pose
+
+    def body(banks, pose_ids):
+        b = banks.replace(count=banks.count[:, 0])
+        b, bufs, ns = jax.vmap(
+            lambda bank: extract_by_pose(bank, pose_ids, buffer_size))(b)
+        return (b.replace(count=b.count[:, None]), bufs, ns[:, None])
+
+    spec = _bank_pspec()
+    buf_spec = {k: P("data", "surfel") for k in
+                ("position", "normal", "color", "size", "weight",
+                 "update_times", "last_update")}
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(spec, P()),
+        out_specs=(spec, buf_spec, P("data", "surfel"))),
+        donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=4)
+def sharded_warp_active(config: SurfelMapConfig, mesh: Mesh):
+    """Loop-closure warp of every active surfel (one matrix per stream):
+    pure elementwise per shard, no collectives."""
+    del config
+    from ..core import geometry
+
+    def body(banks, warps):
+        pos = jax.vmap(geometry.transform_points)(warps, banks.position)
+        nrm = jax.vmap(geometry.rotate_vectors)(warps, banks.normal)
+        return banks.replace(position=pos, normal=nrm)
+
+    spec = _bank_pspec()
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(spec, P("data")),
+        out_specs=spec), donate_argnums=(0,))
+
+
 def replicate_banks(mesh: Mesh, config: SurfelMapConfig,
                     n_streams: int) -> SurfelBank:
     """Empty per-stream banks laid out for the mesh. Capacity is padded so

@@ -136,3 +136,66 @@ def test_multistream_matches_single():
         np.testing.assert_allclose(np.asarray(banks.position[s, :n]),
                                    np.asarray(solo.position[:n]),
                                    rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_bank_lifecycle():
+    """Sharded extract/compact/warp partition the single-device semantics."""
+    cfg = tiny_config(surfel_capacity=4096)
+    scene = synthetic.default_scene()
+    mesh = sharding.make_mesh(8, data=2)
+    step = sharding.sharded_fuse_frame(cfg, mesh)
+    banks = sharding.replicate_banks(mesh, cfg, n_streams=2)
+
+    poses = synthetic.forward_trajectory(2, step=0.3)
+    for t in range(2):
+        imgs, deps = make_frames(cfg, [poses[t], poses[t]], scene)
+        frames = FrameInput(
+            image=jnp.asarray(imgs), depth=jnp.asarray(deps),
+            pose=jnp.asarray(np.stack([poses[t]] * 2), jnp.float32),
+            frame_index=jnp.full((2,), t, jnp.int32))
+        frames = sharding.shard_frames(mesh, frames)
+        banks, _ = step(banks, frames)
+
+    n_shards = 4
+    counts0 = np.asarray(banks.count)          # (2, 4)
+    total0 = counts0.sum(axis=1)
+
+    # --- extract every surfel last updated at keyframe 0 ---
+    from densesurfelmapping_tpu.ops import migration
+    ids = np.full(migration.MAX_REMOVE_POSES, -1, np.int32)
+    ids[0] = 0
+    extract = sharding.sharded_extract_by_pose(cfg, mesh, 512)
+    banks, bufs, ns = extract(banks, jnp.asarray(ids))
+    ns = np.asarray(ns)                        # (2, 4)
+    assert (ns > 0).any()
+    # extracted rows all have last_update == 0
+    lu = np.asarray(bufs["last_update"]).reshape(2, n_shards, 512)
+    for s in range(2):
+        for sh in range(n_shards):
+            assert (lu[s, sh, :ns[s, sh]] == 0).all()
+
+    # --- compact: per-shard live counts add up; extracted rows gone ---
+    compact = sharding.sharded_compact(cfg, mesh)
+    banks = compact(banks)
+    counts1 = np.asarray(banks.count)
+    assert (counts1.sum(axis=1) == total0 - ns.sum(axis=1)).all()
+    lu_bank = np.asarray(banks.last_update)
+    shard_rows = banks.position.shape[1] // n_shards
+    for s in range(2):
+        for sh in range(n_shards):
+            lo = sh * shard_rows
+            c = counts1[s, sh]
+            assert (lu_bank[s, lo:lo + c] != 0).all()
+
+    # --- warp: +1m y shift on stream 0 only ---
+    warp0 = np.eye(4, dtype=np.float32)
+    warp0[1, 3] = 1.0
+    warps = np.stack([warp0, np.eye(4, dtype=np.float32)])
+    pos_before = np.asarray(banks.position)
+    warped = sharding.sharded_warp_active(cfg, mesh)(banks,
+                                                     jnp.asarray(warps))
+    pos_after = np.asarray(warped.position)
+    np.testing.assert_allclose(pos_after[0, :, 1], pos_before[0, :, 1] + 1.0,
+                               atol=1e-5)
+    np.testing.assert_allclose(pos_after[1], pos_before[1], atol=1e-6)
