@@ -372,3 +372,38 @@ def test_input_validation_and_drop_accounting():
     metr = m.metrics()
     assert metr["frames_fused"] == 2 and metr["dropped_images"] == 1
     assert metr["active_count"] > 0
+
+
+def test_rgbd_profile_end_to_end():
+    """The RGBD preset (tight noise profile, short range) maps a near-range
+    scene end to end."""
+    import numpy as np
+    from densesurfelmapping_tpu.config import rgbd_config, CameraIntrinsics
+    from densesurfelmapping_tpu.io import synthetic
+
+    cam = CameraIntrinsics(width=64, height=48, fx=70.0, fy=70.0,
+                           cx=31.5, cy=23.5)
+    cfg = rgbd_config(camera=cam, surfel_capacity=16384, lane_align=8,
+                      drift_free_poses=3)
+    assert cfg.profile.huber_range == 0.05 and cfg.fuse_far == 5.0
+    scene = synthetic.Scene(ground_y=1.0, wall_z=2.5, boxes=[],
+                            max_depth=4.5)
+    m = SurfelMapping(cfg)
+    for i in range(5):
+        pose = np.eye(4)
+        pose[0, 3] = 0.05 * i
+        img, dep = scene.render(cfg, pose)
+        m.feed_pose(float(i), pose, is_keyframe=True)
+        m.feed_image(float(i), img)
+        m.feed_depth(float(i), dep)
+    assert m.frames_fused == 5
+    n = int(m.bank.count)
+    assert n > 0
+    pos = np.asarray(m.bank.position[:n])
+    assert np.isfinite(pos).all()
+    # wall surfels sit at z ~ 2.5 within the tight RGBD noise profile
+    ut = np.asarray(m.bank.update_times[:n])
+    nrm = np.asarray(m.bank.normal[:n])
+    wall = (ut >= 3) & (np.abs(nrm[:, 2]) > 0.9)
+    assert wall.sum() > 10
+    assert np.abs(pos[wall, 2] - 2.5).mean() < 0.01
