@@ -407,3 +407,52 @@ def test_rgbd_profile_end_to_end():
     wall = (ut >= 3) & (np.abs(nrm[:, 2]) > 0.9)
     assert wall.sum() > 10
     assert np.abs(pos[wall, 2] - 2.5).mean() < 0.01
+
+
+def test_loop_closure_rotation_warp():
+    """A rotational pose-graph correction must rotate BOTH surfel positions
+    and normals consistently (active bank and inactive pool)."""
+    import numpy as np
+    cfg = tiny_config(drift_free_poses=2)
+    m = SurfelMapping(cfg)
+    for i in range(5):
+        pose = np.eye(4)
+        pose[0, 3] = 0.4 * i
+        img, dep = render_plane(cfg, pose)
+        feed_frame(m, float(i), pose, img, dep, is_keyframe=True)
+
+    # 90-degree yaw + translation applied to every keyframe.  (The shift
+    # matters: like the reference, pose-change detection compares
+    # translations only — surfel_map.cpp:236-253 — so a pure rotation of a
+    # keyframe sitting at the origin would be classed as unmoved.)
+    c, s = 0.0, 1.0
+    R = np.array([[c, 0, s, 0.3], [0, 1, 0, -0.2], [-s, 0, c, 0.5],
+                  [0, 0, 0, 1]])
+    slabs_before = {k: (v["position"].copy(), v["normal"].copy())
+                    for k, v in m.pool.slabs.items()}
+    n0 = int(m.bank.count)
+    act_pos = np.asarray(m.bank.position[:n0]).copy()
+    act_nrm = np.asarray(m.bank.normal[:n0]).copy()
+
+    loop_path = [R @ kf.cam_pose for kf in m.graph.keyframes]
+    pose = R @ np.eye(4)
+    # pose-only feed: triggers the warp without a subsequent fusion pass
+    m.feed_pose(5.0, pose, is_keyframe=True, loop_path=loop_path)
+
+    for k, (pb, nb) in slabs_before.items():
+        pa = m.pool.slabs[k]["position"]
+        na = m.pool.slabs[k]["normal"]
+        np.testing.assert_allclose(pa, pb @ R[:3, :3].T + R[:3, 3],
+                                   atol=1e-4)
+        np.testing.assert_allclose(na, nb @ R[:3, :3].T, atol=1e-4)
+    # active surfels rotated by the first local pose's warp (same R here)
+    bank_pos = np.asarray(m.bank.position)
+    bank_nrm = np.asarray(m.bank.normal)
+    np.testing.assert_allclose(bank_pos[:n0], act_pos @ R[:3, :3].T
+                               + R[:3, 3], atol=1e-3)
+    np.testing.assert_allclose(bank_nrm[:n0], act_nrm @ R[:3, :3].T,
+                               atol=1e-3)
+    # normals stay unit length
+    ln = np.linalg.norm(bank_nrm[:n0], axis=1)
+    live = np.asarray(m.bank.update_times[:n0]) > 0
+    np.testing.assert_allclose(ln[live], 1.0, atol=1e-3)
