@@ -26,17 +26,26 @@ import numpy as np
 
 
 def _build_mapping(args):
+    import dataclasses
     from . import kitti_config, rgbd_config
-    from .config import SurfelMapConfig
+    from .config import SurfelMapConfig, CameraIntrinsics
     from .pipeline.driver import SurfelMapping
 
     if args.camera_json:
         with open(args.camera_json) as f:
             cfg = SurfelMapConfig.from_json(f.read())
     elif args.profile == "rgbd":
-        cfg = rgbd_config()
+        cfg = rgbd_config(surfel_capacity=1 << args.capacity_log2)
     else:
         cfg = kitti_config(surfel_capacity=1 << args.capacity_log2)
+    # per-sequence intrinsics overrides (KITTI sequences differ in
+    # resolution/calibration; the reference hardcoded seq 00-02)
+    cam_overrides = {k: getattr(args, k) for k in
+                     ("width", "height", "fx", "fy", "cx", "cy")
+                     if getattr(args, k, None) is not None}
+    if cam_overrides:
+        cam = dataclasses.replace(cfg.camera, **cam_overrides)
+        cfg = dataclasses.replace(cfg, camera=cam)
     return SurfelMapping(cfg, kitti_alignment=args.kitti_alignment), cfg
 
 
@@ -223,6 +232,10 @@ def main(argv=None):
         p.add_argument("--camera-json", default="",
                        help="full SurfelMapConfig JSON (overrides --profile)")
         p.add_argument("--capacity-log2", type=int, default=19)
+        for name, typ in (("width", int), ("height", int), ("fx", float),
+                          ("fy", float), ("cx", float), ("cy", float)):
+            p.add_argument(f"--{name}", type=typ, default=None,
+                           help=f"camera {name} override")
         p.add_argument("--kitti-alignment", action="store_true",
                        help="apply the reference's KITTI axis alignment "
                             "(surfel_map.cpp:214-232)")
