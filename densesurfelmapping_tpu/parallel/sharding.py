@@ -164,6 +164,37 @@ def sharded_extract_by_pose(config: SurfelMapConfig, mesh: Mesh,
 
 
 @functools.lru_cache(maxsize=4)
+def sharded_append(config: SurfelMapConfig, mesh: Mesh, per_buf: int):
+    """Sharded host-slab append (pool re-activation): each (stream, shard)
+    tail-appends its slice of a round-robin-distributed slab.
+
+    Call: (banks, fields dict (B, n_shards, per_buf, ...), ns (B, n_shards))
+    -> banks'."""
+    del config
+    from ..ops.fusion import append_new
+
+    def body(banks, fields, ns):
+        b = banks.replace(count=banks.count[:, 0])
+
+        def per_stream(bank, f, n):
+            # f values: (per_buf, ...) local rows; n: (1,) local shard count
+            mask = jnp.arange(per_buf, dtype=jnp.int32) < n[0]
+            bank, _ = append_new(bank, f, mask)
+            return bank
+
+        b = jax.vmap(per_stream)(b, fields, ns)
+        return b.replace(count=b.count[:, None])
+
+    spec = _bank_pspec()
+    f_spec = {k: P("data", "surfel") for k in
+              ("position", "normal", "color", "size", "weight",
+               "update_times", "last_update")}
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(spec, f_spec, P("data", "surfel")),
+        out_specs=spec), donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=4)
 def sharded_warp_active(config: SurfelMapConfig, mesh: Mesh):
     """Loop-closure warp of every active surfel (one matrix per stream):
     pure elementwise per shard, no collectives."""

@@ -242,15 +242,45 @@ class SurfelMapping:
         """Repack the bank when dead holes exceed the slack or the tail
         lacks headroom for the frames until the next stats sync."""
         st = self.last_stats
-        count = int(self.bank.count)
+        count = self._bank_count()
         live = st.get("n_live", 0) + st.get("n_new", 0)
         slab = self.config.new_capacity
         margin = (self.config.stats_interval + 1) * slab \
             + self.config.migration_buffer
-        need_room = count > self.bank.capacity - margin
+        need_room = count > self._bank_capacity() - margin
         if (count - live > self.config.compaction_slack) or need_room \
                 or st.get("n_dropped", 0) > 0:
-            self.bank = self._compact(self.bank)
+            self._do_compact()
+
+    # ------------------------------------------------------------------
+    # device-bank seams (overridden by the sharded driver)
+    # ------------------------------------------------------------------
+    def _bank_count(self) -> int:
+        return int(self.bank.count)
+
+    def _bank_capacity(self) -> int:
+        return self.bank.capacity
+
+    def _do_compact(self) -> None:
+        self.bank = self._compact(self.bank)
+
+    def _extract_chunk(self, ids: np.ndarray):
+        """One removed-pose extraction pass; returns (host fields, n)."""
+        self.bank, buf, n = migration.extract_by_pose(
+            self.bank, jnp.asarray(ids), self.config.migration_buffer)
+        n = int(n)
+        if n == 0:
+            return {}, 0
+        # transfer the full static-shape buffer and slice on host: a
+        # device-side v[:n] would compile a fresh slice executable per n
+        return {k: np.asarray(v)[:n] for k, v in buf.items()}, n
+
+    def _append_hostslab(self, padded: dict, n: int) -> None:
+        self.bank, _ = self._append(self.bank, padded, jnp.int32(n))
+
+    def _apply_active_warp(self, warp: np.ndarray) -> None:
+        self.bank = self._warp_active(self.bank,
+                                      jnp.asarray(warp, jnp.float32))
 
     # ------------------------------------------------------------------
     # active window migration (reference: move_add_surfels)
@@ -267,15 +297,9 @@ class SurfelMapping:
                 ids = np.full(migration.MAX_REMOVE_POSES, -1, np.int32)
                 ids[:len(chunk)] = chunk
                 while True:
-                    self.bank, buf, n = migration.extract_by_pose(
-                        self.bank, jnp.asarray(ids), buf_size)
-                    n = int(n)
+                    host, n = self._extract_chunk(ids)
                     if n == 0:
                         break
-                    # transfer the full static-shape buffer and slice on
-                    # host: a device-side v[:n] would compile a fresh slice
-                    # executable for every distinct n
-                    host = {k: np.asarray(v)[:n] for k, v in buf.items()}
                     for pose_id in chunk:
                         sel = host["last_update"] == pose_id
                         if sel.any():
@@ -292,8 +316,8 @@ class SurfelMapping:
             slab = self.pool.detach(to_add)
             m = len(slab["color"])
             buf_size = self.config.migration_buffer
-            if int(self.bank.count) > self.bank.capacity - buf_size:
-                self.bank = self._compact(self.bank)
+            if self._bank_count() > self._bank_capacity() - buf_size:
+                self._do_compact()
             for off in range(0, max(m, 1), buf_size):
                 part = {k: v[off:off + buf_size] for k, v in slab.items()}
                 n = len(part["color"])
@@ -304,8 +328,8 @@ class SurfelMapping:
                     arr = np.zeros((buf_size,) + part[k].shape[1:],
                                    part[k].dtype)
                     arr[:n] = part[k]
-                    padded[k] = jnp.asarray(arr)
-                self.bank, _ = self._append(self.bank, padded, jnp.int32(n))
+                    padded[k] = arr
+                self._append_hostslab(padded, n)
 
     # ------------------------------------------------------------------
     # loop-closure warp (reference: warp_surfels)
@@ -317,8 +341,7 @@ class SurfelMapping:
         if self.local_indices:
             first = min(self.local_indices)
             if first < len(moved) and moved[first]:
-                self.bank = self._warp_active(
-                    self.bank, jnp.asarray(warps[first], jnp.float32))
+                self._apply_active_warp(warps[first])
         self.pool.warp(warps, moved, self._warp_pool)
         self.graph.commit_loop_poses()
 

@@ -1,0 +1,162 @@
+"""ShardedSurfelMapping: the full mapping pipeline over a device mesh.
+
+Same host orchestration as `SurfelMapping` (pose graph, sync buffers,
+inactive pool, export, checkpoint) with the active surfel bank row-sharded
+across the mesh's "surfel" axis: the fuse step, compaction, migration
+extraction, re-activation appends, and loop-closure warps all execute as
+shard_map programs (`parallel/sharding.py`), one session per "data" group.
+
+Scale intent: one v5e maps one KITTI stream at >600 fps already; the
+sharded driver exists for maps whose ACTIVE window exceeds one chip's HBM
+(capacity scales with the mesh) and as the substrate for pod-scale
+multi-session serving.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SurfelMapConfig
+from ..core.state import FrameInput, pad_frame
+from ..ops import migration
+from ..parallel import sharding
+from .driver import SurfelMapping
+from .inactive_pool import FIELDS
+
+
+class ShardedSurfelMapping(SurfelMapping):
+    """Single-session mapping with the bank sharded over mesh axis "surfel".
+
+    The mesh must have data=1 (multi-session sharding composes via the
+    stream axis of `parallel.sharding` / `parallel.multistream`)."""
+
+    def __init__(self, config: SurfelMapConfig, mesh,
+                 kitti_alignment: bool = False):
+        assert mesh.shape["data"] == 1, "one session per data group"
+        self.mesh = mesh
+        self.n_shards = mesh.shape["surfel"]
+        super().__init__(config, kitti_alignment)
+
+        self.bank = sharding.replicate_banks(mesh, config, n_streams=1)
+        self._sfuse = sharding.sharded_fuse_frame(config, mesh)
+        self._scompact = sharding.sharded_compact(config, mesh)
+        per_chunk = max(config.migration_buffer // self.n_shards, 1)
+        self._per_chunk = per_chunk
+        self._sextract = sharding.sharded_extract_by_pose(
+            config, mesh, per_chunk)
+        self._sappend = sharding.sharded_append(config, mesh, per_chunk)
+        self._swarp = sharding.sharded_warp_active(config, mesh)
+
+    # ------------------------------------------------------------------
+    # device seams
+    # ------------------------------------------------------------------
+    def _fuse_frame(self, image, depth, pose, ref_index: int) -> None:
+        pi, pd = pad_frame(self.config, np.asarray(image, np.float32),
+                           np.asarray(depth, np.float32))
+        frames = FrameInput(
+            image=jnp.asarray(pi[None]), depth=jnp.asarray(pd[None]),
+            pose=jnp.asarray(np.asarray(pose, np.float32)[None]),
+            frame_index=jnp.full((1,), ref_index, jnp.int32))
+        frames = sharding.shard_frames(self.mesh, frames)
+        self.bank, stats = self._sfuse(self.bank, frames)
+        self._stats_dev = stats
+        self.frames_fused += 1
+        if self.frames_fused % self.config.stats_interval == 0:
+            self.sync_stats()
+            self._maybe_compact()
+
+    def sync_stats(self) -> Dict[str, int]:
+        if self._stats_dev:
+            self.last_stats = {k: int(np.asarray(v).sum())
+                               for k, v in self._stats_dev.items()}
+        return self.last_stats
+
+    def _bank_count(self) -> int:
+        return int(np.asarray(self.bank.count).sum())
+
+    def _bank_capacity(self) -> int:
+        # conservative: shards fill evenly (round-robin new-surfel
+        # ownership); headroom margins in the callers already overshoot
+        return self.bank.position.shape[1]
+
+    def _do_compact(self) -> None:
+        self.bank = self._scompact(self.bank)
+
+    def _extract_chunk(self, ids: np.ndarray):
+        self.bank, bufs, ns = self._sextract(self.bank, jnp.asarray(ids))
+        ns = np.asarray(ns)[0]                      # (n_shards,)
+        n = int(ns.sum())
+        if n == 0:
+            return {}, 0
+        host = {}
+        for k, v in bufs.items():
+            arr = np.asarray(v)[0]                  # (n_shards*per_buf, ...)
+            arr = arr.reshape((self.n_shards, self._per_chunk)
+                              + arr.shape[1:])
+            host[k] = np.concatenate(
+                [arr[s, :ns[s]] for s in range(self.n_shards)])
+        # base-class loop contract: n == migration_buffer means "maybe more"
+        if (ns == self._per_chunk).any():
+            return host, self.config.migration_buffer
+        return host, min(n, self.config.migration_buffer - 1)
+
+    def _append_hostslab(self, padded: dict, n: int) -> None:
+        fields = {}
+        ns = np.zeros((1, self.n_shards), np.int32)
+        owner = np.arange(n) % self.n_shards
+        for k in FIELDS:
+            rows = padded[k][:n]
+            out = np.zeros((1, self.n_shards, self._per_chunk)
+                           + rows.shape[1:], rows.dtype)
+            for s in range(self.n_shards):
+                part = rows[owner == s]
+                out[0, s, :len(part)] = part
+                ns[0, s] = len(part)
+            fields[k] = jnp.asarray(
+                out.reshape((1, self.n_shards * self._per_chunk)
+                            + rows.shape[1:]))
+        self.bank = self._sappend(self.bank, fields, jnp.asarray(ns))
+
+    def _apply_active_warp(self, warp: np.ndarray) -> None:
+        self.bank = self._swarp(
+            self.bank, jnp.asarray(np.asarray(warp, np.float32)[None]))
+
+    # ------------------------------------------------------------------
+    # host readout of the sharded bank
+    # ------------------------------------------------------------------
+    def _gather_bank_host(self) -> dict:
+        """Live per-shard prefixes concatenated into one host dict."""
+        counts = np.asarray(self.bank.count)[0]      # (n_shards,)
+        shard_rows = self.bank.position.shape[1] // self.n_shards
+        out = {k: [] for k in FIELDS}
+        host = {k: np.asarray(getattr(self.bank, k))[0] for k in FIELDS}
+        for s in range(self.n_shards):
+            lo = s * shard_rows
+            c = int(counts[s])
+            for k in FIELDS:
+                out[k].append(host[k][lo:lo + c])
+        return {k: np.concatenate(v) if v else np.zeros((0,))
+                for k, v in out.items()}
+
+    def active_surfels(self, min_updates=None) -> dict:
+        if min_updates is None:
+            min_updates = self.config.stable_update_times
+        rows = self._gather_bank_host()
+        sel = rows["update_times"] >= min_updates
+        return {k: v[sel] for k, v in rows.items()}
+
+    def memory_usage_kb(self) -> float:
+        bank_bytes = sum(np.asarray(getattr(self.bank, k)).nbytes
+                         for k in FIELDS)
+        return (bank_bytes + self.pool.memory_bytes()) / 1024.0
+
+    def save_checkpoint(self, path: str) -> None:
+        raise NotImplementedError(
+            "checkpoint the gathered map via SurfelMapping for now")
+
+    def load_checkpoint(self, path: str) -> None:
+        raise NotImplementedError

@@ -1,0 +1,73 @@
+"""End-to-end equivalence: ShardedSurfelMapping (8-way virtual mesh) ==
+SurfelMapping (single device) across keyframe migration and loop closure."""
+
+import numpy as np
+import jax
+import pytest
+
+from densesurfelmapping_tpu.parallel import sharding
+from densesurfelmapping_tpu.pipeline.driver import SurfelMapping
+from densesurfelmapping_tpu.pipeline.sharded_driver import ShardedSurfelMapping
+
+from test_driver import tiny_config, render_plane, feed_frame
+
+
+needs_mesh = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def run_scenario(m):
+    """Keyframe chain with migration, a loop edge, and a pose correction."""
+    for i in range(6):
+        pose = np.eye(4)
+        pose[0, 3] = 0.4 * i
+        img, dep = render_plane(m.config, pose)
+        feed_frame(m, float(i), pose, img, dep, is_keyframe=True)
+    # loop edge back to keyframe 0 reactivates its surfels
+    pose = np.eye(4)
+    img, dep = render_plane(m.config, pose)
+    feed_frame(m, 6.0, pose, img, dep, is_keyframe=True,
+               loop_edges=[(6, 0)])
+    # pose-graph correction: +0.5 m in y for every keyframe
+    shift = np.eye(4)
+    shift[1, 3] = 0.5
+    loop_path = [shift @ kf.cam_pose for kf in m.graph.keyframes]
+    m.feed_pose(7.0, shift @ pose, is_keyframe=False, loop_path=loop_path)
+    return m
+
+
+def sorted_rows(d):
+    pos = d["position"]
+    order = np.lexsort((pos[:, 2], pos[:, 1], pos[:, 0]))
+    return {k: v[order] for k, v in d.items()}
+
+
+@needs_mesh
+def test_sharded_driver_matches_dense():
+    cfg = tiny_config(drift_free_poses=2, surfel_capacity=8192,
+                      migration_buffer=1024, stats_interval=2,
+                      compact_upload=False)
+    mesh = sharding.make_mesh(8, data=1)
+
+    dense = run_scenario(SurfelMapping(cfg))
+    shard = run_scenario(ShardedSurfelMapping(cfg, mesh))
+
+    assert shard.frames_fused == dense.frames_fused == 7
+    assert shard.local_indices == dense.local_indices
+    assert set(shard.pool.slabs) == set(dense.pool.slabs)
+    for k in shard.pool.slabs:
+        a = sorted_rows(shard.pool.slabs[k])
+        b = sorted_rows(dense.pool.slabs[k])
+        np.testing.assert_allclose(a["position"], b["position"], atol=1e-4)
+
+    sa = sorted_rows(shard.active_surfels(min_updates=1))
+    da = sorted_rows(dense.active_surfels(min_updates=1))
+    assert len(sa["position"]) == len(da["position"])
+    np.testing.assert_allclose(sa["position"], da["position"], atol=1e-4)
+    np.testing.assert_allclose(sa["normal"], da["normal"], atol=1e-4)
+    np.testing.assert_array_equal(sa["update_times"], da["update_times"])
+
+    # exports work on the sharded driver
+    total = shard.map_surfels()
+    assert np.isfinite(total["position"]).all()
+    assert shard.memory_usage_kb() > 0
