@@ -179,6 +179,33 @@ def cmd_kitti(args):
     return 0
 
 
+def cmd_tum(args):
+    """TUM RGB-D sequence with the RGBD fusion profile."""
+    from .io.tum import TumSequence
+
+    mapping, cfg = _build_mapping(args)
+    seq = TumSequence(args.root, max_frames=args.max_frames or None)
+    t_last = 0.0
+    last = None
+    n = 0
+    skipped = 0
+    for fr in seq:
+        if fr.pose is None:
+            skipped += 1
+            continue
+        mapping.feed_pose(fr.stamp, fr.pose,
+                          is_keyframe=(n % args.kf_every == 0))
+        mapping.feed_image(fr.stamp, fr.image)
+        mapping.feed_depth(fr.stamp, fr.depth)
+        last = (fr.image, fr.depth)
+        n += 1
+        t_last = _throttle(args.rate, t_last)
+    if skipped:
+        print(f"skipped {skipped} frames without ground-truth pose")
+    _finish(mapping, cfg, args, last)
+    return 0
+
+
 def cmd_replay(args):
     """Replay a recorded pose feed (the fake-SLAM contract: poses, keyframe
     flags, reference indices, loop paths/edges) against a frame source."""
@@ -263,6 +290,13 @@ def main(argv=None):
                         "(block matching) instead of loading depth_0/*.npy")
     p.add_argument("--max-disparity", type=int, default=128)
     p.set_defaults(fn=cmd_kitti)
+
+    p = sub.add_parser("tum", help="TUM RGB-D sequence (rgbd profile)")
+    common(p)
+    p.add_argument("--root", required=True,
+                   help="TUM sequence dir (rgb.txt/depth.txt/groundtruth.txt)")
+    p.add_argument("--max-frames", type=int, default=0)
+    p.set_defaults(fn=cmd_tum, profile="rgbd")
 
     p = sub.add_parser("replay", help="replay a recorded pose feed (npz/TUM)")
     common(p)

@@ -168,3 +168,45 @@ def test_driver_export_end_to_end(tmp_path):
     assert len(verts) == 6 * n_mesh
     # mesh vertices must lie near the mapped plane z=4
     assert abs(np.median(verts[:, 2]) - 4.0) < 0.1
+
+
+def test_tum_sequence(tmp_path):
+    """Generated TUM-layout dataset: association, depth scale, pose lookup."""
+    import numpy as np
+    from PIL import Image
+    from densesurfelmapping_tpu.io.tum import TumSequence, associate
+
+    root = tmp_path / "tum"
+    (root / "rgb").mkdir(parents=True)
+    (root / "depth").mkdir()
+    rgb_lines, dep_lines, gt_lines = [], [], []
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        t_rgb = 100.0 + i * 0.033
+        t_dep = t_rgb + 0.004            # slightly offset depth stream
+        img = rng.integers(0, 255, (48, 64, 3), np.uint8)
+        Image.fromarray(img).save(root / "rgb" / f"{t_rgb:.6f}.png")
+        dep = np.full((48, 64), 2.5 * 5000, np.uint16)   # 2.5 m
+        dep[0, 0] = 0                                     # invalid px
+        Image.fromarray(dep, mode="I;16").save(
+            root / "depth" / f"{t_dep:.6f}.png")
+        rgb_lines.append(f"{t_rgb:.6f} rgb/{t_rgb:.6f}.png")
+        dep_lines.append(f"{t_dep:.6f} depth/{t_dep:.6f}.png")
+        gt_lines.append(f"{t_rgb:.6f} {0.1*i:.3f} 0 0 0 0 0 1")
+    (root / "rgb.txt").write_text("# rgb\n" + "\n".join(rgb_lines) + "\n")
+    (root / "depth.txt").write_text("# d\n" + "\n".join(dep_lines) + "\n")
+    (root / "groundtruth.txt").write_text("# gt\n" + "\n".join(gt_lines) + "\n")
+
+    seq = TumSequence(str(root))
+    frames = list(seq)
+    assert len(frames) == 4
+    f = frames[1]
+    assert f.image.shape == (48, 64) and f.depth.shape == (48, 64)
+    assert f.depth[5, 5] == pytest.approx(2.5)
+    assert f.depth[0, 0] == 0.0
+    assert f.pose is not None
+    assert f.pose[0, 3] == pytest.approx(0.1)
+
+    # association rejects out-of-tolerance stamps
+    pairs = associate([(0.0, "a")], [(1.0, "b")], tolerance=0.02)
+    assert pairs == []

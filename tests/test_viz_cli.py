@@ -83,3 +83,44 @@ def test_cli_synthetic_end_to_end(tmp_path):
     z = np.load(out + ".ckpt.npz")
     assert int(z["bank_count"]) > 0
     assert len(z["kf_cam"]) == 3
+
+
+def test_cli_tum_end_to_end(tmp_path):
+    """Generated TUM dataset through the tum subcommand (rgbd profile)."""
+    import numpy as np
+    from PIL import Image
+    from densesurfelmapping_tpu.cli import main
+    from densesurfelmapping_tpu.config import SurfelMapConfig, CameraIntrinsics
+
+    root = tmp_path / "tum"
+    (root / "rgb").mkdir(parents=True)
+    (root / "depth").mkdir()
+    rgb_lines, dep_lines, gt_lines = [], [], []
+    rng = np.random.default_rng(1)
+    h, w = 48, 64
+    for i in range(4):
+        t = 10.0 + i * 0.1
+        img = rng.integers(0, 255, (h, w, 3), np.uint8)
+        Image.fromarray(img).save(root / "rgb" / f"{t:.6f}.png")
+        dep = np.full((h, w), int(1.5 * 5000), np.uint16)
+        Image.fromarray(dep, mode="I;16").save(root / "depth" / f"{t:.6f}.png")
+        rgb_lines.append(f"{t:.6f} rgb/{t:.6f}.png")
+        dep_lines.append(f"{t:.6f} depth/{t:.6f}.png")
+        gt_lines.append(f"{t:.6f} {0.02*i:.3f} 0 0 0 0 0 1")
+    (root / "rgb.txt").write_text("\n".join(rgb_lines) + "\n")
+    (root / "depth.txt").write_text("\n".join(dep_lines) + "\n")
+    (root / "groundtruth.txt").write_text("\n".join(gt_lines) + "\n")
+
+    cam = SurfelMapConfig(
+        camera=CameraIntrinsics(width=w, height=h, fx=60.0, fy=60.0,
+                                cx=31.5, cy=23.5),
+        surfel_capacity=8192, fuse_near=0.1, fuse_far=5.0)
+    cam_json = tmp_path / "cam.json"
+    cam_json.write_text(cam.to_json())
+
+    out = str(tmp_path / "tum_map")
+    rc = main(["tum", "--root", str(root), "--out", out,
+               "--camera-json", str(cam_json)])
+    assert rc == 0
+    import os
+    assert os.path.exists(out + ".pcd")
