@@ -27,7 +27,7 @@ import numpy as np
 
 def _build_mapping(args):
     import dataclasses
-    from . import kitti_config, rgbd_config
+    from . import kitti_config, rgbd_config, mono_config
     from .config import SurfelMapConfig, CameraIntrinsics
     from .pipeline.driver import SurfelMapping
 
@@ -36,6 +36,8 @@ def _build_mapping(args):
             cfg = SurfelMapConfig.from_json(f.read())
     elif args.profile == "rgbd":
         cfg = rgbd_config(surfel_capacity=1 << args.capacity_log2)
+    elif args.profile == "mono":
+        cfg = mono_config(surfel_capacity=1 << args.capacity_log2)
     else:
         cfg = kitti_config(surfel_capacity=1 << args.capacity_log2)
     # per-sequence intrinsics overrides (KITTI sequences differ in
@@ -254,7 +256,7 @@ def main(argv=None):
                             " the reference publisher used 5)")
         p.add_argument("--kf-every", type=int, default=1,
                        help="keyframe every N frames")
-        p.add_argument("--profile", choices=("drive", "rgbd"),
+        p.add_argument("--profile", choices=("drive", "rgbd", "mono"),
                        default="drive")
         p.add_argument("--camera-json", default="",
                        help="full SurfelMapConfig JSON (overrides --profile)")
