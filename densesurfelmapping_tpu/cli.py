@@ -30,6 +30,7 @@ def _build_mapping(args):
     from . import kitti_config, rgbd_config, mono_config
     from .config import SurfelMapConfig, CameraIntrinsics
     from .pipeline.driver import SurfelMapping
+    from .pipeline.device_driver import DeviceResidentMapping
 
     if args.camera_json:
         with open(args.camera_json) as f:
@@ -48,7 +49,9 @@ def _build_mapping(args):
     if cam_overrides:
         cam = dataclasses.replace(cfg.camera, **cam_overrides)
         cfg = dataclasses.replace(cfg, camera=cam)
-    return SurfelMapping(cfg, kitti_alignment=args.kitti_alignment), cfg
+    cls = SurfelMapping if getattr(args, "host_pool", False) \
+        else DeviceResidentMapping
+    return cls(cfg, kitti_alignment=args.kitti_alignment), cfg
 
 
 def _finish(mapping, cfg, args, last_frame=None):
@@ -268,6 +271,9 @@ def main(argv=None):
         p.add_argument("--kitti-alignment", action="store_true",
                        help="apply the reference's KITTI axis alignment "
                             "(surfel_map.cpp:214-232)")
+        p.add_argument("--host-pool", action="store_true",
+                       help="use the host-pool migration driver instead of "
+                            "the device-resident window-mask driver")
 
     p = sub.add_parser("synthetic", help="procedural scene demo/benchmark")
     common(p)

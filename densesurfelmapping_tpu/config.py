@@ -111,6 +111,10 @@ class SurfelMapConfig:
     # fuse-step stats (and the compaction decision) sync device->host every
     # N frames; each sync is a blocking transfer, so N amortizes RPC latency
     stats_interval: int = 8
+    # device-resident-pool mode: static keyframe bound (active-window mask
+    # length) and the fixed no-readback compaction schedule
+    max_keyframes: int = 8192
+    compact_interval: int = 256
 
     # padding alignment for the image tensors
     lane_align: int = 128

@@ -143,8 +143,14 @@ def compact_frame(config: SurfelMapConfig, image: np.ndarray,
     if (h, w) != (config.height, config.width):
         raise ValueError(f"frame shape {(h, w)} != config camera "
                          f"{(config.height, config.width)}")
-    return (np.ascontiguousarray(image, np.uint8),
-            np.ascontiguousarray(depth, np.float16))
+    image = np.asarray(image)
+    if image.dtype != np.uint8:
+        image = np.clip(image, 0, 255).astype(np.uint8)
+    depth = np.asarray(depth)
+    if depth.dtype != np.float16:
+        # f16 overflow becomes +-inf, which every depth gate rejects
+        depth = depth.astype(np.float16)
+    return np.ascontiguousarray(image), np.ascontiguousarray(depth)
 
 
 def valid_pixel_mask(config: SurfelMapConfig) -> np.ndarray:

@@ -29,7 +29,8 @@ def get_weight(depth: jnp.ndarray) -> jnp.ndarray:
 def fuse_surfels(config: SurfelMapConfig, bank: SurfelBank,
                  seeds: SuperpixelState, assignment: jnp.ndarray,
                  depth: jnp.ndarray, pose: jnp.ndarray,
-                 frame_index: jnp.ndarray, blocked: bool = True
+                 frame_index: jnp.ndarray, blocked: bool = True,
+                 pose_mask: jnp.ndarray | None = None
                  ) -> Tuple[SurfelBank, jnp.ndarray]:
     """One projective-association + weighted-fusion pass over the whole bank.
 
@@ -38,6 +39,12 @@ def fuse_surfels(config: SurfelMapConfig, bank: SurfelBank,
     staleness kill -> dead skip -> depth range -> image bounds -> occlusion
     kill -> seed normal/view gates -> tolerate_diff band -> normal-agreement
     kill -> weighted update.
+
+    pose_mask (optional, (max_keyframes,) bool): device-resident
+    active-window gating — rows whose last_update keyframe is outside the
+    mask are frozen (no update, no kill), the in-HBM equivalent of the
+    reference's physical active/inactive migration (`move_add_surfels`,
+    `surfel_map.cpp:1456-1595`).
     """
     rows, cols = config.sp_rows, config.sp_cols
 
@@ -56,7 +63,8 @@ def fuse_surfels(config: SurfelMapConfig, bank: SurfelBank,
                          _pack_seeds(seeds),
                          jax.lax.bitcast_convert_type(
                              assignment.reshape(-1), jnp.float32),
-                         depth, pose, inv_pose, frame_index)
+                         depth, pose, inv_pose, frame_index,
+                         pose_mask=pose_mask)
         pos, nrm, col, siz, wgt, ut, lu, fused_flat = out
         new_bank = bank.replace(position=pos, normal=nrm, color=col,
                                 size=siz, weight=wgt, update_times=ut,
@@ -78,7 +86,7 @@ def fuse_surfels(config: SurfelMapConfig, bank: SurfelBank,
         out = _fuse_rows(
             config, blk(pos), blk(nrm), blk(col), blk(siz), blk(wgt),
             blk(ut), blk(lu), in_prefix, seed_packed, assign_f32,
-            depth, pose, inv_pose, frame_index)
+            depth, pose, inv_pose, frame_index, pose_mask=pose_mask)
         (b_pos, b_nrm, b_col, b_siz, b_wgt, b_ut, b_lu, fused_part) = out
         put = lambda a, b: jax.lax.dynamic_update_slice_in_dim(
             a, b, start, axis=0)
@@ -112,7 +120,8 @@ def _pack_seeds(seeds: SuperpixelState) -> jnp.ndarray:
 
 def _fuse_rows(config: SurfelMapConfig, position, normal, color, size,
                weight, update_times, last_update, in_prefix,
-               seed_packed, assign_f32, depth, pose, inv_pose, frame_index):
+               seed_packed, assign_f32, depth, pose, inv_pose, frame_index,
+               pose_mask=None):
     """Gate chain + weighted fusion over one block of bank rows."""
     cam = config.camera
     prof = config.profile
@@ -120,6 +129,13 @@ def _fuse_rows(config: SurfelMapConfig, position, normal, color, size,
     h, w = depth.shape
 
     alive = in_prefix & (update_times > 0)
+    if pose_mask is not None:
+        # frozen rows (owner keyframe outside the active window) are
+        # untouchable: no fusion, no staleness/occlusion/normal kills
+        P = pose_mask.shape[0]
+        owner_ok = pose_mask[jnp.clip(last_update, 0, P - 1)] \
+            & (last_update >= 0)
+        alive = alive & owner_ok
 
     # staleness kill: idle > stale_frames and weakly observed
     stale = ((frame_index - last_update > config.stale_frames)

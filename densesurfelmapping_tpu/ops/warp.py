@@ -27,6 +27,33 @@ def warp_active(bank: SurfelBank, warp: jnp.ndarray) -> SurfelBank:
 
 
 @jax.jit
+def warp_bank_by_pose(bank: SurfelBank, warps: jnp.ndarray,
+                      moved: jnp.ndarray, pose_mask: jnp.ndarray,
+                      first_local: jnp.ndarray) -> SurfelBank:
+    """Loop-closure warp of a device-resident bank holding BOTH active and
+    frozen surfels (no host pool).
+
+    Reference semantics in one pass (`warp_surfels`, surfel_map.cpp:791-824):
+    rows owned by an in-window (active) keyframe all use the FIRST local
+    pose's warp (:808-813); frozen rows use their own keyframe's warp
+    (:681-748); rows whose selected keyframe did not move stay put.
+
+    warps: (P, 4, 4) loop_pose @ cam_pose^-1 per keyframe; moved: (P,) bool;
+    pose_mask: (P,) bool active window; first_local: () i32."""
+    P = warps.shape[0]
+    lu = jnp.clip(bank.last_update, 0, P - 1)
+    active = pose_mask[lu] & (bank.last_update >= 0)
+    idx = jnp.where(active, first_local, lu)
+    do = moved[idx] & (bank.update_times > 0) & (bank.last_update >= 0)
+    new_p = geometry.transform_points_batched(warps, bank.position, idx)
+    new_n = geometry.rotate_vectors_batched(warps, bank.normal, idx)
+    return bank.replace(
+        position=jnp.where(do[:, None], new_p, bank.position),
+        normal=jnp.where(do[:, None], new_n, bank.normal),
+    )
+
+
+@jax.jit
 def warp_pool(positions: jnp.ndarray, normals: jnp.ndarray,
               pose_index: jnp.ndarray, warps: jnp.ndarray):
     """Warp an inactive-pool slab: positions/normals (M, 3), pose_index (M,)

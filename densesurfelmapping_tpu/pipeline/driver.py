@@ -212,10 +212,7 @@ class SurfelMapping:
         pose_dev = jnp.asarray(np.asarray(pose, np.float32).reshape(4, 4))
         if self.config.compact_upload:
             from ..core.state import compact_frame
-            ci, cd = compact_frame(
-                self.config,
-                np.clip(np.asarray(image), 0, 255),
-                np.clip(np.asarray(depth, np.float32), 0.0, 6e4))
+            ci, cd = compact_frame(self.config, image, depth)
             self.bank, stats = self._fuse_compact(
                 self.bank, jnp.asarray(ci), jnp.asarray(cd), pose_dev,
                 jnp.int32(ref_index))

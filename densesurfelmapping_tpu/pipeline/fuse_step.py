@@ -78,6 +78,35 @@ def jitted_fuse_frame_compact(config: SurfelMapConfig):
                    donate_argnums=(0,))
 
 
+def fuse_frame_windowed(config: SurfelMapConfig, bank: SurfelBank,
+                        image_u8: jnp.ndarray, depth_f16: jnp.ndarray,
+                        pose: jnp.ndarray, frame_index: jnp.ndarray,
+                        pose_mask: jnp.ndarray) -> Tuple[SurfelBank, dict]:
+    """Compact fuse step with device-resident active/inactive gating.
+
+    pose_mask (max_keyframes,) bool marks the drift-free window; rows owned
+    by out-of-window keyframes are frozen in place (the in-HBM replacement
+    for the host migration pool — zero per-frame device->host traffic)."""
+    img, dep = ingest_frame(config, image_u8, depth_f16)
+    seeds, assignment = superpixel.run_slic(config, img, dep)
+    seeds, _space = normals.compute_seed_planes(
+        config, seeds, assignment, dep)
+    bank, fused = fusion.fuse_surfels(
+        config, bank, seeds, assignment, dep, pose, frame_index,
+        pose_mask=pose_mask)
+    new_fields, new_mask = fusion.extract_new_surfels(
+        config, seeds, fused, pose, frame_index)
+    bank, stats = fusion.append_new(bank, new_fields, new_mask)
+    stats["n_fused_seeds"] = jnp.sum(fused.astype(jnp.int32))
+    return bank, stats
+
+
+@functools.lru_cache(maxsize=4)
+def jitted_fuse_frame_windowed(config: SurfelMapConfig):
+    return jax.jit(functools.partial(fuse_frame_windowed, config),
+                   donate_argnums=(0,))
+
+
 def fuse_frames_scan(config: SurfelMapConfig, bank: SurfelBank,
                      images_u8: jnp.ndarray, depths_f16: jnp.ndarray,
                      poses: jnp.ndarray, frame_indices: jnp.ndarray

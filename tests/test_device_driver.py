@@ -1,0 +1,100 @@
+"""DeviceResidentMapping (window-mask lifecycle, zero steady-state D2H)
+must be semantically identical to the host-pool SurfelMapping."""
+
+import numpy as np
+import pytest
+
+from densesurfelmapping_tpu.pipeline.driver import SurfelMapping
+from densesurfelmapping_tpu.pipeline.device_driver import DeviceResidentMapping
+
+from test_driver import tiny_config, render_plane, feed_frame
+
+
+def run_scenario(m):
+    for i in range(6):
+        pose = np.eye(4)
+        pose[0, 3] = 0.4 * i
+        img, dep = render_plane(m.config, pose)
+        feed_frame(m, float(i), pose, img, dep, is_keyframe=True)
+    # loop edge reactivates keyframe 0's surfels
+    pose = np.eye(4)
+    img, dep = render_plane(m.config, pose)
+    feed_frame(m, 6.0, pose, img, dep, is_keyframe=True, loop_edges=[(6, 0)])
+    # pose-graph correction
+    shift = np.eye(4)
+    shift[1, 3] = 0.5
+    loop_path = [shift @ kf.cam_pose for kf in m.graph.keyframes]
+    m.feed_pose(7.0, shift @ pose, is_keyframe=False, loop_path=loop_path)
+    return m
+
+
+def sorted_rows(d):
+    pos = d["position"]
+    order = np.lexsort((pos[:, 2], pos[:, 1], pos[:, 0]))
+    return {k: np.asarray(v)[order] for k, v in d.items()}
+
+
+@pytest.fixture(scope="module")
+def pair():
+    cfg = tiny_config(drift_free_poses=2, surfel_capacity=8192,
+                      migration_buffer=1024, stats_interval=2,
+                      compact_interval=4)
+    host = run_scenario(SurfelMapping(cfg))
+    dev = run_scenario(DeviceResidentMapping(cfg))
+    return host, dev
+
+
+def test_same_active_window(pair):
+    host, dev = pair
+    assert dev.local_indices == host.local_indices
+    assert dev.frames_fused == host.frames_fused == 7
+
+
+def test_same_map(pair):
+    host, dev = pair
+    a = sorted_rows(dev.map_surfels())
+    b = sorted_rows(host.map_surfels())
+    assert len(a["position"]) == len(b["position"])
+    np.testing.assert_allclose(a["position"], b["position"], atol=1e-4)
+    np.testing.assert_allclose(a["normal"], b["normal"], atol=1e-4)
+    np.testing.assert_array_equal(a["update_times"], b["update_times"])
+
+
+def test_same_active_frozen_split(pair):
+    host, dev = pair
+    for getter in ("active_surfels", "inactive_surfels"):
+        a = sorted_rows(getattr(dev, getter)())
+        b = sorted_rows(getattr(host, getter)())
+        assert len(a["position"]) == len(b["position"]), getter
+        np.testing.assert_allclose(a["position"], b["position"], atol=1e-4,
+                                   err_msg=getter)
+
+
+def test_device_checkpoint_roundtrip(pair, tmp_path):
+    _, dev = pair
+    path = str(tmp_path / "dev.npz")
+    dev.save_checkpoint(path)
+    cfg = dev.config
+    m2 = DeviceResidentMapping(cfg)
+    m2.load_checkpoint(path)
+    assert m2.local_indices == dev.local_indices
+    a = sorted_rows(m2.map_surfels())
+    b = sorted_rows(dev.map_surfels())
+    np.testing.assert_allclose(a["position"], b["position"], atol=1e-5)
+    # resumed mapper keeps working
+    pose = np.eye(4)
+    pose[0, 3] = 2.8
+    img, dep = render_plane(cfg, pose)
+    feed_frame(m2, 8.0, pose, img, dep, is_keyframe=True)
+    assert m2.frames_fused == dev.frames_fused + 1
+
+
+def test_keyframe_bound_enforced():
+    cfg = tiny_config(max_keyframes=3)
+    m = DeviceResidentMapping(cfg)
+    with pytest.raises(RuntimeError):
+        for i in range(5):
+            pose = np.eye(4)
+            pose[0, 3] = 0.4 * i
+            img, dep = render_plane(cfg, pose)
+            feed_frame(m, float(i), pose, img, dep, is_keyframe=True)
