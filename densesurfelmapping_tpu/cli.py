@@ -162,8 +162,10 @@ def cmd_kitti(args):
         scfg = stereo_model.StereoConfig(max_disparity=args.max_disparity)
 
         def depth_fn(fr):
+            # matcher needs signed arithmetic: feed f32 intensities
             return np.asarray(stereo_model.depth_from_stereo(
-                jnp.asarray(fr.image), jnp.asarray(fr.right_image),
+                jnp.asarray(np.asarray(fr.image, np.float32)),
+                jnp.asarray(np.asarray(fr.right_image, np.float32)),
                 bf=seq.bf, config=scfg, max_depth=cfg.fuse_far))
     t_last = 0.0
     last = None

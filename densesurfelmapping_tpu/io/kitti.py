@@ -43,7 +43,7 @@ def _imread_gray(path: str) -> np.ndarray:
 class KittiFrame:
     index: int
     stamp: float
-    image: np.ndarray      # (H, W) f32 intensity (left)
+    image: np.ndarray      # (H, W) u8 intensity (left)
     depth: np.ndarray      # (H, W) f32 metric, 0 invalid
     pose: Optional[np.ndarray]  # 4x4 Twc ground truth if available
     right_image: Optional[np.ndarray] = None  # (H, W) f32 (stereo mode)
@@ -82,7 +82,7 @@ class KittiSequence:
             need = [img_path, right_path if self.stereo else depth_path]
             if not all(os.path.exists(p) for p in need):
                 return
-            image = _imread_gray(img_path).astype(np.float32)
+            image = _imread_gray(img_path)   # u8, fed straight through
             right = None
             if self.stereo:
                 right = _imread_gray(right_path).astype(np.float32)
