@@ -57,9 +57,11 @@ def _build_mapping(args):
 def _finish(mapping, cfg, args, last_frame=None):
     from . import viz
 
+    metr = mapping.metrics()
     print(f"frames fused: {mapping.frames_fused}, "
-          f"active surfels: {int(mapping.bank.count)}, "
-          f"memory: {mapping.memory_usage_kb():.0f} KB")
+          f"active surfels: {metr['active_count']:.0f}, "
+          f"inactive: {metr['inactive_count']:.0f}, "
+          f"memory: {metr['memory_kb']:.0f} KB")
     print("stage times:", mapping.timer.report())
     if not args.out:
         return
@@ -120,16 +122,20 @@ def cmd_synthetic(args):
     last = None
     eval_set = []
     t0 = time.perf_counter()
-    for i, pose in enumerate(poses):
-        img, dep = scene.render(cfg, pose)
-        stamp = i / max(args.rate, 1e-9) if args.rate > 0 else float(i)
-        mapping.feed_pose(stamp, pose, is_keyframe=(i % args.kf_every == 0))
-        mapping.feed_image(stamp, img)
-        mapping.feed_depth(stamp, dep)
-        last = (img, dep)
-        if args.eval and i % max(args.frames // 8, 1) == 0:
-            eval_set.append(((img, dep), pose))
-        t_last = _throttle(args.rate, t_last)
+    try:
+        for i, pose in enumerate(poses):
+            img, dep = scene.render(cfg, pose)
+            stamp = i / max(args.rate, 1e-9) if args.rate > 0 else float(i)
+            mapping.feed_pose(stamp, pose,
+                              is_keyframe=(i % args.kf_every == 0))
+            mapping.feed_image(stamp, img)
+            mapping.feed_depth(stamp, dep)
+            last = (img, dep)
+            if args.eval and i % max(args.frames // 8, 1) == 0:
+                eval_set.append(((img, dep), pose))
+            t_last = _throttle(args.rate, t_last)
+    except KeyboardInterrupt:
+        print("interrupted - saving map (reference shutdown-save semantics)")
     dt = time.perf_counter() - t0
     print(f"{args.frames} frames in {dt:.2f}s "
           f"({args.frames / dt:.1f} fps incl. host render)")
@@ -171,15 +177,18 @@ def cmd_kitti(args):
     last = None
     n = 0
     t0 = time.perf_counter()
-    for fr in seq:
-        depth = depth_fn(fr) if depth_fn else fr.depth
-        mapping.feed_pose(fr.stamp, fr.pose,
-                          is_keyframe=(fr.index % args.kf_every == 0))
-        mapping.feed_image(fr.stamp, fr.image)
-        mapping.feed_depth(fr.stamp, depth)
-        last = (fr.image, depth)
-        n += 1
-        t_last = _throttle(args.rate, t_last)
+    try:
+        for fr in seq:
+            depth = depth_fn(fr) if depth_fn else fr.depth
+            mapping.feed_pose(fr.stamp, fr.pose,
+                              is_keyframe=(fr.index % args.kf_every == 0))
+            mapping.feed_image(fr.stamp, fr.image)
+            mapping.feed_depth(fr.stamp, depth)
+            last = (fr.image, depth)
+            n += 1
+            t_last = _throttle(args.rate, t_last)
+    except KeyboardInterrupt:
+        print("interrupted - saving map (reference shutdown-save semantics)")
     dt = time.perf_counter() - t0
     print(f"{n} frames in {dt:.2f}s ({n / max(dt, 1e-9):.1f} fps incl. IO)")
     _finish(mapping, cfg, args, last)
