@@ -218,3 +218,71 @@ def test_compaction_conserves():
     np.testing.assert_allclose(want_new, got_new)
     # tail is dead
     assert int(out.update_times[n_live + n_new:].sum()) == 0
+
+
+def test_pose_mask_freezes_rows():
+    """fuse_surfels with pose_mask: frozen rows are never updated, killed,
+    or staleness-culled; active rows behave exactly as without a mask."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from densesurfelmapping_tpu.config import SurfelMapConfig, CameraIntrinsics
+    from densesurfelmapping_tpu.core.state import SurfelBank
+    from densesurfelmapping_tpu.ops import superpixel, normals, fusion
+    from densesurfelmapping_tpu.core.state import pad_frame
+    from densesurfelmapping_tpu.io import synthetic
+
+    cam = CameraIntrinsics(width=64, height=48, fx=60.0, fy=60.0,
+                           cx=31.5, cy=23.5)
+    cfg = SurfelMapConfig(camera=cam, surfel_capacity=2048, lane_align=8,
+                          stale_frames=1)
+    scene = synthetic.Scene(ground_y=1.0, wall_z=4.0, boxes=[], max_depth=10.)
+    img, dep = scene.render(cfg, np.eye(4))
+    pi, pd = pad_frame(cfg, img, dep)
+    image, depth = jnp.asarray(pi), jnp.asarray(pd)
+    seeds, asg = superpixel.run_slic(cfg, image, depth, use_pallas=False)
+    seeds, _ = normals.compute_seed_planes(cfg, seeds, asg, depth)
+
+    # bank: rows owned by keyframe 0 (frozen) and keyframe 5 (active), all
+    # placed where they WOULD fuse (on the wall), plus a stale active row
+    n = 64
+    bank = SurfelBank.empty(cfg.surfel_capacity)
+    pos = np.zeros((cfg.surfel_capacity, 3), np.float32)
+    rng = np.random.default_rng(0)
+    u = rng.uniform(5, 59, n); v = rng.uniform(5, 43, n)
+    pos[:n, 0] = (u - cam.cx) / cam.fx * 4.0
+    pos[:n, 1] = (v - cam.cy) / cam.fy * 4.0
+    pos[:n, 2] = 4.0
+    nrm = np.zeros((cfg.surfel_capacity, 3), np.float32)
+    nrm[:n, 2] = -1.0
+    lu = np.zeros(cfg.surfel_capacity, np.int32)
+    lu[:n // 2] = 0          # frozen owner
+    lu[n // 2:n] = 5         # active owner
+    ut = np.zeros(cfg.surfel_capacity, np.int32)
+    ut[:n] = 2               # below stable threshold => stale-killable
+    bank = bank.replace(position=jnp.asarray(pos), normal=jnp.asarray(nrm),
+                        last_update=jnp.asarray(lu),
+                        update_times=jnp.asarray(ut),
+                        weight=jnp.ones(cfg.surfel_capacity, jnp.float32),
+                        size=jnp.full(cfg.surfel_capacity, .05, jnp.float32),
+                        count=jnp.int32(n))
+
+    mask = np.zeros(16, bool)
+    mask[5] = True           # keyframe 5 active, keyframe 0 frozen
+    fuse = jax.jit(lambda b: fusion.fuse_surfels(
+        cfg, b, seeds, asg, depth, jnp.eye(4), jnp.int32(6),
+        pose_mask=jnp.asarray(mask)))
+    out, fused = fuse(bank)
+
+    ut_out = np.asarray(out.update_times[:n])
+    pos_out = np.asarray(out.position[:n])
+    # frozen half: bitwise untouched (no fuse, no stale kill at idle 6-0>1)
+    np.testing.assert_array_equal(ut_out[:n // 2], 2)
+    np.testing.assert_array_equal(pos_out[:n // 2], pos[:n // 2])
+    # active half: most rows fuse (ut -> 3); rows failing an association
+    # gate stay untouched, killed rows go to 0 — but NONE stay frozen-exact
+    # if they fused
+    fused_rows = ut_out[n // 2:] == 3
+    assert fused_rows.sum() > n // 4               # most fuse on the wall
+    moved = np.abs(pos_out[n // 2:] - pos[n // 2:n]).sum(axis=1) > 0
+    assert (moved == fused_rows).mean() > 0.9      # updates track fusions
