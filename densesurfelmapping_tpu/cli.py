@@ -285,6 +285,9 @@ def main(argv=None):
         p.add_argument("--host-pool", action="store_true",
                        help="use the host-pool migration driver instead of "
                             "the device-resident window-mask driver")
+        p.add_argument("--trace", default="",
+                       help="write a jax.profiler trace of the run to this "
+                            "directory (view in xprof/TensorBoard)")
 
     p = sub.add_parser("synthetic", help="procedural scene demo/benchmark")
     common(p)
@@ -326,6 +329,10 @@ def main(argv=None):
     p.set_defaults(fn=cmd_replay)
 
     args = ap.parse_args(argv)
+    if getattr(args, "trace", ""):
+        from .utils.timing import device_trace
+        with device_trace(args.trace):
+            return args.fn(args) or 0
     return args.fn(args) or 0
 
 
