@@ -61,8 +61,12 @@ class DeviceResidentMapping(SurfelMapping):
                 f"keyframe count {len(self.graph)} exceeds "
                 f"config.max_keyframes={self.config.max_keyframes}")
         self.local_indices = set(window)
-        self._window_np[:] = False
-        self._window_np[list(window)] = True
+        # fresh allocation every frame: the previous mask may still be
+        # aliased by an in-flight async dispatch (jnp.asarray of host
+        # numpy can be zero-copy); in-place mutation would race it
+        mask = np.zeros(self.config.max_keyframes, bool)
+        mask[list(window)] = True
+        self._window_np = mask
         self._first_local = min(window) if window else 0
 
     # ------------------------------------------------------------------
@@ -186,8 +190,9 @@ class DeviceResidentMapping(SurfelMapping):
             if int(j) not in kf.linked:
                 kf.linked.append(int(j))
         self.local_indices = set(int(i) for i in z["local_indices"])
-        self._window_np[:] = False
-        self._window_np[sorted(self.local_indices)] = True
+        mask = np.zeros(self.config.max_keyframes, bool)
+        mask[sorted(self.local_indices)] = True
+        self._window_np = mask
         self._first_local = min(self.local_indices) \
             if self.local_indices else 0
         self.frames_fused = int(z["frames_fused"])

@@ -22,6 +22,9 @@ def enable_compilation_cache(path: str | None = None) -> str:
             "DSM_CACHE_DIR",
             os.path.join(os.path.dirname(os.path.dirname(
                 os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+    # scope by backend: CPU AOT artifacts carry machine-feature strings the
+    # TPU-process compiles don't, and vice versa (cpu_aot_loader warnings)
+    path = os.path.join(path, jax.default_backend())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

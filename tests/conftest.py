@@ -16,7 +16,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# NOTE: the persistent compilation cache is deliberately NOT enabled here.
-# CPU compiles are fast, and cached CPU AOT artifacts can carry machine
-# features the execution host lacks (cpu_aot_loader warnings / flaky
-# numerics). The cache is for the TPU entry points (bench, CLI).
+from densesurfelmapping_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+# backend-scoped cache dir (CPU artifacts kept apart from TPU ones)
+enable_compilation_cache()
