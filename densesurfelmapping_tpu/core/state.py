@@ -138,7 +138,12 @@ def compact_frame(config: SurfelMapConfig, image: np.ndarray,
     quantization — far inside the association gate's noise model,
     tolerate_diff >= 0.1 m).  Use with `fuse_step.jitted_fuse_frame_compact`,
     which converts and pads on device; cuts per-frame upload from 3.8 MB
-    to 1.4 MB."""
+    to 1.4 MB.
+
+    Zero-copy caveat: when the input is already u8/f16 the SAME buffer is
+    returned and may be aliased by the asynchronous upload — callers must
+    not mutate a fed frame buffer afterwards (allocate per frame, as every
+    io/ loader does)."""
     h, w = image.shape
     if (h, w) != (config.height, config.width):
         raise ValueError(f"frame shape {(h, w)} != config camera "
