@@ -44,7 +44,9 @@ class ShardedSurfelMapping(SurfelMapping):
         self.bank = sharding.replicate_banks(mesh, config, n_streams=1)
         self._sfuse = sharding.sharded_fuse_frame(config, mesh)
         self._scompact = sharding.sharded_compact(config, mesh)
-        per_chunk = max(config.migration_buffer // self.n_shards, 1)
+        # ceil: a full migration_buffer slab distributed round-robin puts
+        # up to ceil(buf / n_shards) rows on shard 0
+        per_chunk = max(-(-config.migration_buffer // self.n_shards), 1)
         self._per_chunk = per_chunk
         self._sextract = sharding.sharded_extract_by_pose(
             config, mesh, per_chunk)
