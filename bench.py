@@ -22,28 +22,29 @@ def main(n_frames: int = 60, warmup: int = 3):
     import densesurfelmapping_tpu as dsm
     from densesurfelmapping_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    from densesurfelmapping_tpu.core.state import SurfelBank, compact_frame
-    from densesurfelmapping_tpu.pipeline.fuse_step import jitted_fuse_frame_compact
+    from densesurfelmapping_tpu.core.state import SurfelBank, pack_frame
+    from densesurfelmapping_tpu.pipeline.fuse_step import jitted_fuse_frame_packed
     from densesurfelmapping_tpu.io import synthetic
 
     cfg = dsm.kitti_config(surfel_capacity=1 << 19)
     scene = synthetic.default_scene()
     poses = synthetic.forward_trajectory(n_frames + warmup, step=0.4)
 
-    # pre-render on host (excluded from the timed region); frames ride to the
-    # device compact (u8 intensity + f16 depth) and are decoded in-step
+    # pre-render on host (excluded from the timed region); each frame rides
+    # to the device as ONE packed buffer (u8 intensity + f16 depth bytes,
+    # decoded in-step) — per-transfer latency dominates per-byte cost here
     rendered = []
     for i, pose in enumerate(poses):
         img, dep = scene.render(cfg, pose)
-        ci, cd = compact_frame(cfg, img, dep)
-        rendered.append((ci, cd, pose.astype(np.float32)))
+        rendered.append((pack_frame(cfg, img, dep),
+                         pose.astype(np.float32)))
 
-    step = jitted_fuse_frame_compact(cfg)
+    step = jitted_fuse_frame_packed(cfg)
     bank = SurfelBank.empty(cfg.surfel_capacity)
 
     def run(i, bank):
-        ci, cd, pose = rendered[i]
-        bank, stats = step(bank, jnp.asarray(ci), jnp.asarray(cd),
+        buf, pose = rendered[i]
+        bank, stats = step(bank, jnp.asarray(buf),
                            jnp.asarray(pose), jnp.int32(i))
         return bank, stats
 

@@ -158,6 +158,19 @@ def compact_frame(config: SurfelMapConfig, image: np.ndarray,
     return np.ascontiguousarray(image), np.ascontiguousarray(depth)
 
 
+def pack_frame(config: SurfelMapConfig, image: np.ndarray,
+               depth: np.ndarray) -> np.ndarray:
+    """One-buffer frame encoding: u8 intensity bytes followed by the f16
+    depth bytes, as a single (3*H*W,) u8 array.
+
+    The per-transfer latency of the host->device link exceeds its
+    per-byte cost at this frame size; one upload beats two (see
+    `fuse_step.fuse_frame_packed` for the in-jit decode)."""
+    ci, cd = compact_frame(config, image, depth)
+    return np.concatenate([ci.reshape(-1),
+                           cd.reshape(-1).view(np.uint8)])
+
+
 def valid_pixel_mask(config: SurfelMapConfig) -> np.ndarray:
     """Static (H_pad, W_pad) mask of pixels that exist in the raw image."""
     m = np.zeros((config.padded_height, config.padded_width), bool)

@@ -78,6 +78,31 @@ def jitted_fuse_frame_compact(config: SurfelMapConfig):
                    donate_argnums=(0,))
 
 
+def unpack_frame(config: SurfelMapConfig, buf: jnp.ndarray):
+    """In-jit decode of `core.state.pack_frame`: (3*H*W,) u8 -> (u8 image,
+    f16 depth) at raw camera resolution."""
+    oh, ow = config.height, config.width
+    hw = oh * ow
+    img = jax.lax.slice_in_dim(buf, 0, hw).reshape(oh, ow)
+    dep_bytes = jax.lax.slice_in_dim(buf, hw, 3 * hw).reshape(oh, ow, 2)
+    dep = jax.lax.bitcast_convert_type(dep_bytes, jnp.float16)
+    return img, dep
+
+
+def fuse_frame_packed(config: SurfelMapConfig, bank: SurfelBank,
+                      buf: jnp.ndarray, pose: jnp.ndarray,
+                      frame_index: jnp.ndarray) -> Tuple[SurfelBank, dict]:
+    """fuse_frame over a single-buffer packed frame (one H2D transfer)."""
+    img, dep = unpack_frame(config, buf)
+    return fuse_frame_compact(config, bank, img, dep, pose, frame_index)
+
+
+@functools.lru_cache(maxsize=4)
+def jitted_fuse_frame_packed(config: SurfelMapConfig):
+    return jax.jit(functools.partial(fuse_frame_packed, config),
+                   donate_argnums=(0,))
+
+
 def fuse_frame_windowed(config: SurfelMapConfig, bank: SurfelBank,
                         image_u8: jnp.ndarray, depth_f16: jnp.ndarray,
                         pose: jnp.ndarray, frame_index: jnp.ndarray,

@@ -456,3 +456,36 @@ def test_loop_closure_rotation_warp():
     ln = np.linalg.norm(bank_nrm[:n0], axis=1)
     live = np.asarray(m.bank.update_times[:n0]) > 0
     np.testing.assert_allclose(ln[live], 1.0, atol=1e-3)
+
+
+def test_packed_frame_path_matches_compact():
+    """Single-buffer packed upload == compact two-buffer path bitwise."""
+    import jax.numpy as jnp
+    import numpy as np
+    from densesurfelmapping_tpu.config import SurfelMapConfig, CameraIntrinsics
+    from densesurfelmapping_tpu.core.state import (SurfelBank, compact_frame,
+                                                   pack_frame)
+    from densesurfelmapping_tpu.pipeline import fuse_step
+    from densesurfelmapping_tpu.io import synthetic
+
+    cam = CameraIntrinsics(width=120, height=56, fx=80.0, fy=80.0,
+                           cx=59.5, cy=27.5)
+    cfg = SurfelMapConfig(camera=cam, surfel_capacity=4096)
+    scene = synthetic.default_scene()
+    img, dep = scene.render(cfg, np.eye(4))
+
+    ci, cd = compact_frame(cfg, img, dep)
+    a, _ = fuse_step.jitted_fuse_frame_compact(cfg)(
+        SurfelBank.empty(cfg.surfel_capacity), jnp.asarray(ci),
+        jnp.asarray(cd), jnp.eye(4, dtype=jnp.float32), jnp.int32(0))
+
+    buf = pack_frame(cfg, img, dep)
+    assert buf.shape == (3 * cfg.height * cfg.width,) and buf.dtype == np.uint8
+    b, _ = fuse_step.jitted_fuse_frame_packed(cfg)(
+        SurfelBank.empty(cfg.surfel_capacity), jnp.asarray(buf),
+        jnp.eye(4, dtype=jnp.float32), jnp.int32(0))
+
+    n = int(a.count)
+    assert int(b.count) == n
+    np.testing.assert_array_equal(np.asarray(a.position[:n]),
+                                  np.asarray(b.position[:n]))
