@@ -36,7 +36,6 @@ import numpy as np
 from ..config import SurfelMapConfig
 from ..ops import warp as warp_ops
 from .driver import SurfelMapping
-from .fuse_step import jitted_fuse_frame_windowed
 from .inactive_pool import FIELDS
 from .pose_graph import PoseGraph
 
@@ -45,7 +44,8 @@ class DeviceResidentMapping(SurfelMapping):
     def __init__(self, config: SurfelMapConfig,
                  kitti_alignment: bool = False):
         super().__init__(config, kitti_alignment)
-        self._fuse_windowed = jitted_fuse_frame_windowed(config)
+        from .fuse_step import jitted_fuse_frame_windowed_packed
+        self._fuse_windowed = jitted_fuse_frame_windowed_packed(config)
         self._window_np = np.zeros(config.max_keyframes, bool)
         self._first_local = 0
         self._host_rows: Optional[dict] = None   # readout cache
@@ -73,10 +73,10 @@ class DeviceResidentMapping(SurfelMapping):
     # fuse with window gating; fixed-schedule compaction; no stat reads
     # ------------------------------------------------------------------
     def _fuse_frame(self, image, depth, pose, ref_index: int) -> None:
-        from ..core.state import compact_frame
-        ci, cd = compact_frame(self.config, image, depth)
+        from ..core.state import pack_frame
+        buf = pack_frame(self.config, image, depth)
         self.bank, stats = self._fuse_windowed(
-            self.bank, jnp.asarray(ci), jnp.asarray(cd),
+            self.bank, jnp.asarray(buf),
             jnp.asarray(np.asarray(pose, np.float32).reshape(4, 4)),
             jnp.int32(ref_index), jnp.asarray(self._window_np))
         self._stats_dev = stats

@@ -103,6 +103,23 @@ def jitted_fuse_frame_packed(config: SurfelMapConfig):
                    donate_argnums=(0,))
 
 
+def fuse_frame_windowed_packed(config: SurfelMapConfig, bank: SurfelBank,
+                               buf: jnp.ndarray, pose: jnp.ndarray,
+                               frame_index: jnp.ndarray,
+                               pose_mask: jnp.ndarray
+                               ) -> Tuple[SurfelBank, dict]:
+    """Windowed fuse step over a single-buffer packed frame."""
+    img, dep = unpack_frame(config, buf)
+    return fuse_frame_windowed(config, bank, img, dep, pose, frame_index,
+                               pose_mask)
+
+
+@functools.lru_cache(maxsize=4)
+def jitted_fuse_frame_windowed_packed(config: SurfelMapConfig):
+    return jax.jit(functools.partial(fuse_frame_windowed_packed, config),
+                   donate_argnums=(0,))
+
+
 def fuse_frame_windowed(config: SurfelMapConfig, bank: SurfelBank,
                         image_u8: jnp.ndarray, depth_f16: jnp.ndarray,
                         pose: jnp.ndarray, frame_index: jnp.ndarray,
