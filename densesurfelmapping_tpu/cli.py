@@ -28,7 +28,7 @@ import numpy as np
 def _build_mapping(args):
     import dataclasses
     from . import kitti_config, rgbd_config, mono_config
-    from .config import SurfelMapConfig, CameraIntrinsics
+    from .config import SurfelMapConfig
     from .pipeline.driver import SurfelMapping
     from .pipeline.device_driver import DeviceResidentMapping
 

@@ -16,7 +16,6 @@ import functools
 
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 
 def extract_windows(field: jnp.ndarray, sp: int) -> jnp.ndarray:

@@ -19,7 +19,7 @@ image rows with halo exchange is a later optimization, not a semantic need.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ warp batches every moved pose's slab into one device call.
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List
+from typing import Dict, Iterable
 
 import numpy as np
 
