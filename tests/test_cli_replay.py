@@ -1,0 +1,90 @@
+"""End-to-end CLI tests: kitti and replay subcommands on generated data."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from densesurfelmapping_tpu.cli import main
+from densesurfelmapping_tpu.config import SurfelMapConfig, CameraIntrinsics
+from densesurfelmapping_tpu.io.posefeed import PoseFeed, PoseMessage
+
+
+CAM = CameraIntrinsics(width=64, height=48, fx=60.0, fy=60.0,
+                       cx=31.5, cy=23.5)
+
+
+def make_kitti_root(tmp_path, n=4, with_right=False):
+    """Tiny KITTI-layout dataset: textured PNGs + constant-disparity npy."""
+    root = tmp_path / "kitti"
+    (root / "image_0").mkdir(parents=True)
+    (root / "depth_0").mkdir()
+    if with_right:
+        (root / "image_1").mkdir()
+    rng = np.random.default_rng(0)
+    poses = []
+    for i in range(n):
+        img = rng.integers(0, 255, (CAM.height, CAM.width), np.uint8)
+        Image.fromarray(img).save(root / "image_0" / f"{i:06d}.png")
+        if with_right:
+            Image.fromarray(img).save(root / "image_1" / f"{i:06d}.png")
+        # disparity such that depth = bf/disp ~ 4 m
+        disp = np.full((CAM.height, CAM.width), 386.1448 / 4.0, np.float32)
+        np.save(root / "depth_0" / f"{i:06d}.npy", disp)
+        pose = np.eye(4)
+        pose[0, 3] = 0.1 * i
+        poses.append(pose)
+    lines = [" ".join(f"{v:.6f}" for v in p[:3].reshape(-1)) for p in poses]
+    (root / "poses.txt").write_text("\n".join(lines) + "\n")
+    return root, poses
+
+
+def cam_json(tmp_path):
+    cfg = SurfelMapConfig(camera=CAM, surfel_capacity=8192,
+                          fuse_near=0.3, fuse_far=10.0)
+    p = tmp_path / "cam.json"
+    p.write_text(cfg.to_json())
+    return str(p)
+
+
+def test_cli_kitti_end_to_end(tmp_path):
+    root, _ = make_kitti_root(tmp_path)
+    out = str(tmp_path / "k")
+    rc = main(["kitti", "--root", str(root), "--out", out,
+               "--camera-json", cam_json(tmp_path)])
+    assert rc == 0
+    assert os.path.exists(out + ".pcd")
+    assert os.path.exists(out + "_mesh.ply")
+
+
+def test_cli_replay_with_loop_edges(tmp_path):
+    root, poses = make_kitti_root(tmp_path, n=5)
+    # recorded SLAM feed: keyframes every frame, one loop edge, one
+    # pose-graph correction on the final message
+    shift = np.eye(4)
+    shift[1, 3] = 0.25
+    msgs = []
+    for i, pose in enumerate(poses):
+        loop_path = None
+        edges = []
+        if i == 4:
+            loop_path = [shift @ p for p in poses[:4]] + [shift @ pose]
+            edges = [(4, 0)]
+        msgs.append(PoseMessage(stamp=i / 5.0, pose=pose, is_keyframe=True,
+                                reference_index=i, loop_path=loop_path,
+                                loop_edges=edges))
+    feed_path = str(tmp_path / "feed.npz")
+    PoseFeed.save(feed_path, msgs)
+
+    out = str(tmp_path / "r")
+    rc = main(["replay", "--feed", feed_path, "--root", str(root),
+               "--out", out, "--camera-json", cam_json(tmp_path)])
+    assert rc == 0
+    assert os.path.exists(out + ".ckpt.npz")
+    z = np.load(out + ".ckpt.npz")
+    assert int(z["bank_count"]) > 0
+    assert len(z["kf_cam"]) == 5
+    # the loop edge made it into the graph
+    edges = set(map(tuple, z["kf_edges"]))
+    assert (4, 0) in edges or (0, 4) in edges
