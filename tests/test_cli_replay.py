@@ -88,3 +88,47 @@ def test_cli_replay_with_loop_edges(tmp_path):
     # the loop edge made it into the graph
     edges = set(map(tuple, z["kf_edges"]))
     assert (4, 0) in edges or (0, 4) in edges
+
+
+def test_cli_kitti_stereo_mode(tmp_path):
+    """--stereo computes depth on-device from image_0/image_1."""
+    from densesurfelmapping_tpu.io import synthetic
+
+    cfg = SurfelMapConfig(camera=CAM, surfel_capacity=8192,
+                          fuse_near=0.3, fuse_far=12.0)
+    # wall at 9 m -> disparity bf/9 = 42.9 px, inside the 48-disparity range
+    scene = synthetic.Scene(ground_y=1.5, wall_z=9.0, boxes=[],
+                            max_depth=11.5, texture="multisine")
+    baseline = 386.1448 / CAM.fx   # so bf == the seq-00 constant
+    root = tmp_path / "kitti"
+    (root / "image_0").mkdir(parents=True)
+    (root / "image_1").mkdir()
+    poses = []
+    for i in range(3):
+        lp = np.eye(4)
+        lp[0, 3] = 0.05 * i
+        rp = lp.copy()
+        rp[0, 3] += baseline
+        li, _ = scene.render(cfg, lp)
+        ri, _ = scene.render(cfg, rp)
+        Image.fromarray(li.astype(np.uint8)).save(
+            root / "image_0" / f"{i:06d}.png")
+        Image.fromarray(ri.astype(np.uint8)).save(
+            root / "image_1" / f"{i:06d}.png")
+        poses.append(lp)
+    lines = [" ".join(f"{v:.6f}" for v in p[:3].reshape(-1)) for p in poses]
+    (root / "poses.txt").write_text("\n".join(lines) + "\n")
+
+    out = str(tmp_path / "s")
+    rc = main(["kitti", "--root", str(root), "--stereo",
+               "--max-disparity", "48", "--out", out,
+               "--camera-json", cam_json(tmp_path)])
+    assert rc == 0
+    ckpt = np.load(out + ".ckpt.npz")
+    # the wall at 9 m must have produced real surfels from matched depth
+    # (the 64x48 frame has only ~48 seeds; stereo holes cost some)
+    assert int(ckpt["bank_count"]) > 10
+    z = ckpt["bank_position"][:, 2]
+    ut = ckpt["bank_update_times"]
+    wallish = np.abs(z[ut > 0] - 9.0) < 0.5
+    assert wallish.mean() > 0.3
