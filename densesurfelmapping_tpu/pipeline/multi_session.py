@@ -28,18 +28,19 @@ import numpy as np
 
 from ..config import SurfelMapConfig
 from ..core import geometry
-from ..core.state import compact_frame
+from ..core.state import pack_frame
 from ..ops import warp as warp_ops
 from ..parallel import multistream
-from .fuse_step import fuse_frame_windowed
+from .fuse_step import fuse_frame_windowed_packed
 from .inactive_pool import FIELDS
 from .pose_graph import PoseGraph
 
 
 @functools.lru_cache(maxsize=4)
 def _batched_windowed_step(config: SurfelMapConfig):
-    return jax.jit(jax.vmap(functools.partial(fuse_frame_windowed, config)),
-                   donate_argnums=(0,))
+    return jax.jit(
+        jax.vmap(functools.partial(fuse_frame_windowed_packed, config)),
+        donate_argnums=(0,))
 
 
 @functools.lru_cache(maxsize=4)
@@ -150,8 +151,7 @@ class MultiSessionMapping:
                                "use flush=True to pad")
         cfg = self.config
         h, w = cfg.height, cfg.width
-        cis = np.zeros((self.n_streams, h, w), np.uint8)
-        cds = np.zeros((self.n_streams, h, w), np.float16)
+        bufs = np.zeros((self.n_streams, 3 * h * w), np.uint8)
         poses = np.tile(np.eye(4, dtype=np.float32), (self.n_streams, 1, 1))
         refs = np.zeros(self.n_streams, np.int32)
         masks = np.zeros((self.n_streams, cfg.max_keyframes), bool)
@@ -170,8 +170,7 @@ class MultiSessionMapping:
             s.window[list(window)] = True
             s.first_local = min(window) if window else 0
             fuse_pose = s.graph.keyframes[ref].cam_pose @ rel
-            ci, cd = compact_frame(cfg, img, dep)
-            cis[k], cds[k] = ci, cd
+            bufs[k] = pack_frame(cfg, img, dep)
             poses[k] = np.asarray(fuse_pose, np.float32)
             refs[k] = ref
             masks[k] = s.window
@@ -183,7 +182,7 @@ class MultiSessionMapping:
             fused_real += 1
 
         self.banks, _stats = self._step(
-            self.banks, jnp.asarray(cis), jnp.asarray(cds),
+            self.banks, jnp.asarray(bufs),
             jnp.asarray(poses), jnp.asarray(refs), jnp.asarray(masks))
         self.rounds += 1
         return fused_real
