@@ -77,6 +77,15 @@ def _finish(mapping, cfg, args, last_frame=None):
           f"{n_mesh} mesh surfels -> {args.out}_mesh.ply, "
           f"{len(poses)} cameras -> {args.out}_cameras.ply, "
           f"checkpoint -> {args.out}.ckpt.npz")
+    if mapping.graph.keyframes:
+        # map-view render: the fused map splatted back into the latest
+        # keyframe's camera (the rviz "what does the map look like" view)
+        from .eval import render_depth
+        d = render_depth(cfg, mapping.map_surfels(),
+                         mapping.graph.keyframes[-1].loop_pose)
+        viz.save_png(args.out + "_mapdepth.png",
+                     viz.depth_colormap(d, cfg.fuse_far))
+        print(f"map depth render -> {args.out}_mapdepth.png")
     if last_frame is not None:
         _save_debug_render(mapping, cfg, args, last_frame)
 

@@ -77,7 +77,7 @@ def test_cli_synthetic_end_to_end(tmp_path):
                "--camera-json", str(cam_json), "--kf-every", "2"])
     assert rc == 0
     for suffix in (".pcd", "_mesh.ply", "_cameras.ply", ".ckpt.npz",
-                   "_seg.png"):
+                   "_seg.png", "_mapdepth.png"):
         assert os.path.exists(out + suffix), f"missing {out + suffix}"
     # checkpoint is loadable and non-trivial
     z = np.load(out + ".ckpt.npz")
