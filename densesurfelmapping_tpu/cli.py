@@ -283,7 +283,11 @@ def main(argv=None):
                        default="drive")
         p.add_argument("--camera-json", default="",
                        help="full SurfelMapConfig JSON (overrides --profile)")
-        p.add_argument("--capacity-log2", type=int, default=19)
+        p.add_argument("--capacity-log2", type=int, default=21,
+                       help="surfel bank capacity (2^N rows). The default "
+                            "driver keeps every surfel in HBM: budget "
+                            "~300 net live surfels per KITTI frame "
+                            "(2^21 = 75 MB covers a full sequence)")
         for name, typ in (("width", int), ("height", int), ("fx", float),
                           ("fy", float), ("cx", float), ("cy", float)):
             p.add_argument(f"--{name}", type=typ, default=None,
