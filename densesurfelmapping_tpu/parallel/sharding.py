@@ -42,10 +42,11 @@ def make_mesh(n_devices: Optional[int] = None,
 
 
 def _fuse_shard(config: SurfelMapConfig, bank: SurfelBank, frame: FrameInput,
-                n_shards: int):
+                n_shards: int, pose_mask=None):
     """Body executed per surfel-shard under shard_map (single stream).
 
-    bank holds this shard's rows; frame is replicated across "surfel".
+    bank holds this shard's rows; frame (and the optional active-window
+    pose_mask) is replicated across "surfel".
     """
     seeds, assignment = superpixel.run_slic(config, frame.image, frame.depth)
     seeds, _ = normals.compute_seed_planes(config, seeds, assignment,
@@ -53,7 +54,7 @@ def _fuse_shard(config: SurfelMapConfig, bank: SurfelBank, frame: FrameInput,
 
     bank, fused_local = fusion.fuse_surfels(
         config, bank, seeds, assignment, frame.depth, frame.pose,
-        frame.frame_index, blocked=False)
+        frame.frame_index, blocked=False, pose_mask=pose_mask)
 
     # seeds claimed by ANY shard's surfels: OR across the surfel axis
     fused = jax.lax.pmax(fused_local.astype(jnp.int32), "surfel") > 0
@@ -105,6 +106,55 @@ def sharded_fuse_frame(config: SurfelMapConfig, mesh: Mesh):
         in_specs=(bank_spec, frame_spec),
         out_specs=(bank_spec, stats_spec))
     return jax.jit(mapped, donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=4)
+def sharded_fuse_frame_windowed(config: SurfelMapConfig, mesh: Mesh):
+    """sharded_fuse_frame with device-resident active-window gating: frames
+    arrive with a per-stream (B, max_keyframes) bool pose_mask; rows owned
+    by out-of-window keyframes stay frozen (no host pool, no readbacks —
+    the mesh version of DeviceResidentMapping's lifecycle)."""
+    n_surfel = mesh.shape["surfel"]
+
+    def per_stream(bank, frame, mask):
+        return _fuse_shard(config, bank, frame, n_surfel, pose_mask=mask)
+
+    def stepper(banks, frames, masks):
+        banks = banks.replace(count=banks.count[:, 0])
+        banks, stats = jax.vmap(per_stream)(banks, frames, masks)
+        banks = banks.replace(count=banks.count[:, None])
+        return banks, stats
+
+    bank_spec = _bank_pspec()
+    frame_spec = FrameInput(image=P("data"), depth=P("data"),
+                            pose=P("data"), frame_index=P("data"))
+    stats_spec = {k: P("data") for k in
+                  ("n_live", "n_new", "n_dropped", "n_fused_seeds")}
+    mapped = jax.shard_map(
+        stepper, mesh=mesh,
+        in_specs=(bank_spec, frame_spec, P("data")),
+        out_specs=(bank_spec, stats_spec))
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=4)
+def sharded_warp_by_pose(config: SurfelMapConfig, mesh: Mesh):
+    """Whole-bank per-pose loop warp over the mesh (the sharded
+    `ops.warp.warp_bank_by_pose`): warps/moved/mask/first replicated over
+    "surfel", per-stream over "data"."""
+    del config
+    from ..ops.warp import warp_bank_by_pose
+
+    def body(banks, warps, moved, masks, firsts):
+        b = banks.replace(count=banks.count[:, 0])
+        b = jax.vmap(warp_bank_by_pose)(b, warps, moved, masks, firsts)
+        return b.replace(count=b.count[:, None])
+
+    spec = _bank_pspec()
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(spec, P("data"), P("data"), P("data"), P("data")),
+        out_specs=spec), donate_argnums=(0,))
 
 
 def _bank_pspec() -> SurfelBank:

@@ -199,3 +199,83 @@ class DeviceResidentMapping(SurfelMapping):
         self._host_rows = None
         if "alignment" in z:
             self._alignment = np.array(z["alignment"])
+
+
+class ShardedDeviceResidentMapping(DeviceResidentMapping):
+    """DeviceResidentMapping over a device mesh: the window-mask lifecycle
+    (zero steady-state readbacks) with the bank row-sharded across the
+    mesh's "surfel" axis — the best-practice driver at pod scale.
+
+    Frames and masks replicate over "surfel"; fuse, loop warp, and
+    compaction run as shard_map programs (`parallel/sharding.py`)."""
+
+    def __init__(self, config: SurfelMapConfig, mesh,
+                 kitti_alignment: bool = False):
+        from ..parallel import sharding
+        assert mesh.shape["data"] == 1, "one session per data group"
+        self.mesh = mesh
+        self.n_shards = mesh.shape["surfel"]
+        super().__init__(config, kitti_alignment)
+        self.bank = sharding.replicate_banks(mesh, config, n_streams=1)
+        self._sfuse_w = sharding.sharded_fuse_frame_windowed(config, mesh)
+        self._scompact = sharding.sharded_compact(config, mesh)
+        self._swarp = sharding.sharded_warp_by_pose(config, mesh)
+        self._shard_frames = sharding.shard_frames
+
+    def _fuse_frame(self, image, depth, pose, ref_index: int) -> None:
+        from ..core.state import FrameInput, pad_frame
+        pi, pd = pad_frame(self.config, np.asarray(image, np.float32),
+                           np.asarray(depth, np.float32))
+        frames = FrameInput(
+            image=jnp.asarray(pi[None]), depth=jnp.asarray(pd[None]),
+            pose=jnp.asarray(np.asarray(pose, np.float32)[None]),
+            frame_index=jnp.full((1,), ref_index, jnp.int32))
+        frames = self._shard_frames(self.mesh, frames)
+        self.bank, stats = self._sfuse_w(
+            self.bank, frames, jnp.asarray(self._window_np[None]))
+        self._stats_dev = stats
+        self._host_rows = None
+        self.frames_fused += 1
+        if self.frames_fused % self.config.compact_interval == 0:
+            self._do_compact()
+
+    def _do_compact(self) -> None:
+        self.bank = self._scompact(self.bank)
+
+    def _bank_count(self) -> int:
+        return int(np.asarray(self.bank.count).sum())
+
+    def _bank_capacity(self) -> int:
+        return self.bank.position.shape[1]
+
+    def _warp_surfels(self) -> None:
+        warps, moved = self.graph.pose_warps()
+        P = self.config.max_keyframes
+        wstack = np.tile(np.eye(4, dtype=np.float32), (1, P, 1, 1))
+        mstack = np.zeros((1, P), bool)
+        n = len(warps)
+        wstack[0, :n] = warps.astype(np.float32)
+        mstack[0, :n] = moved
+        self.bank = self._swarp(
+            self.bank, jnp.asarray(wstack), jnp.asarray(mstack),
+            jnp.asarray(self._window_np[None]),
+            jnp.full((1,), self._first_local, jnp.int32))
+        self._host_rows = None
+        self.graph.commit_loop_poses()
+
+    def _rows_host(self) -> dict:
+        if self._host_rows is None:
+            from .sharded_driver import gather_sharded_bank
+            self._host_rows = gather_sharded_bank(self.bank, self.n_shards)
+        return self._host_rows
+
+    def memory_usage_kb(self) -> float:
+        return sum(np.asarray(getattr(self.bank, k)).nbytes
+                   for k in FIELDS) / 1024.0
+
+    def save_checkpoint(self, path: str) -> None:
+        raise NotImplementedError("gather the map and checkpoint via "
+                                  "DeviceResidentMapping for now")
+
+    def load_checkpoint(self, path: str) -> None:
+        raise NotImplementedError

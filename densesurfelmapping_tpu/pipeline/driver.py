@@ -428,7 +428,7 @@ class SurfelMapping:
         out: Dict[str, float] = {
             "frames_fused": self.frames_fused,
             "keyframes": len(self.graph),
-            "active_count": int(self.bank.count),
+            "active_count": self._bank_count(),
             "inactive_count": len(self.pool),
             "buffered_images": len(self.image_buffer),
             "buffered_depths": len(self.depth_buffer),

@@ -28,6 +28,21 @@ from .driver import SurfelMapping
 from .inactive_pool import FIELDS
 
 
+def gather_sharded_bank(banks, n_shards: int, stream: int = 0) -> dict:
+    """Host dict of a sharded bank's live per-shard prefixes, concatenated."""
+    counts = np.asarray(banks.count)[stream]         # (n_shards,)
+    shard_rows = banks.position.shape[1] // n_shards
+    host = {k: np.asarray(getattr(banks, k))[stream] for k in FIELDS}
+    out = {k: [] for k in FIELDS}
+    for s in range(n_shards):
+        lo = s * shard_rows
+        c = int(counts[s])
+        for k in FIELDS:
+            out[k].append(host[k][lo:lo + c])
+    return {k: np.concatenate(v) if v else np.zeros((0,))
+            for k, v in out.items()}
+
+
 class ShardedSurfelMapping(SurfelMapping):
     """Single-session mapping with the bank sharded over mesh axis "surfel".
 
@@ -132,17 +147,7 @@ class ShardedSurfelMapping(SurfelMapping):
     # ------------------------------------------------------------------
     def _gather_bank_host(self) -> dict:
         """Live per-shard prefixes concatenated into one host dict."""
-        counts = np.asarray(self.bank.count)[0]      # (n_shards,)
-        shard_rows = self.bank.position.shape[1] // self.n_shards
-        out = {k: [] for k in FIELDS}
-        host = {k: np.asarray(getattr(self.bank, k))[0] for k in FIELDS}
-        for s in range(self.n_shards):
-            lo = s * shard_rows
-            c = int(counts[s])
-            for k in FIELDS:
-                out[k].append(host[k][lo:lo + c])
-        return {k: np.concatenate(v) if v else np.zeros((0,))
-                for k, v in out.items()}
+        return gather_sharded_bank(self.bank, self.n_shards)
 
     def active_surfels(self, min_updates=None) -> dict:
         if min_updates is None:

@@ -71,3 +71,35 @@ def test_sharded_driver_matches_dense():
     total = shard.map_surfels()
     assert np.isfinite(total["position"]).all()
     assert shard.memory_usage_kb() > 0
+
+
+@needs_mesh
+def test_sharded_device_resident_matches_dense():
+    """ShardedDeviceResidentMapping (mesh + window-mask lifecycle) ==
+    DeviceResidentMapping across migration + loop closure."""
+    from densesurfelmapping_tpu.pipeline.device_driver import (
+        DeviceResidentMapping, ShardedDeviceResidentMapping)
+
+    cfg = tiny_config(drift_free_poses=2, surfel_capacity=8192,
+                      stats_interval=2, compact_interval=4)
+    mesh = sharding.make_mesh(8, data=1)
+
+    dense = run_scenario(DeviceResidentMapping(cfg))
+    shard = run_scenario(ShardedDeviceResidentMapping(cfg, mesh))
+
+    assert shard.frames_fused == dense.frames_fused == 7
+    assert shard.local_indices == dense.local_indices
+
+    sa = sorted_rows(shard.map_surfels())
+    da = sorted_rows(dense.map_surfels())
+    assert len(sa["position"]) == len(da["position"])
+    np.testing.assert_allclose(sa["position"], da["position"], atol=1e-4)
+    np.testing.assert_allclose(sa["normal"], da["normal"], atol=1e-4)
+
+    for getter in ("active_surfels", "inactive_surfels"):
+        a = sorted_rows(getattr(shard, getter)())
+        b = sorted_rows(getattr(dense, getter)())
+        assert len(a["position"]) == len(b["position"]), getter
+
+    m = shard.metrics()
+    assert m["active_count"] > 0 and m["inactive_count"] > 0
