@@ -188,8 +188,7 @@ def test_tum_sequence(tmp_path):
         Image.fromarray(img).save(root / "rgb" / f"{t_rgb:.6f}.png")
         dep = np.full((48, 64), 2.5 * 5000, np.uint16)   # 2.5 m
         dep[0, 0] = 0                                     # invalid px
-        Image.fromarray(dep, mode="I;16").save(
-            root / "depth" / f"{t_dep:.6f}.png")
+        Image.fromarray(dep).save(root / "depth" / f"{t_dep:.6f}.png")
         rgb_lines.append(f"{t_rgb:.6f} rgb/{t_rgb:.6f}.png")
         dep_lines.append(f"{t_dep:.6f} depth/{t_dep:.6f}.png")
         gt_lines.append(f"{t_rgb:.6f} {0.1*i:.3f} 0 0 0 0 0 1")

@@ -103,7 +103,7 @@ def test_cli_tum_end_to_end(tmp_path):
         img = rng.integers(0, 255, (h, w, 3), np.uint8)
         Image.fromarray(img).save(root / "rgb" / f"{t:.6f}.png")
         dep = np.full((h, w), int(1.5 * 5000), np.uint16)
-        Image.fromarray(dep, mode="I;16").save(root / "depth" / f"{t:.6f}.png")
+        Image.fromarray(dep).save(root / "depth" / f"{t:.6f}.png")
         rgb_lines.append(f"{t:.6f} rgb/{t:.6f}.png")
         dep_lines.append(f"{t:.6f} depth/{t:.6f}.png")
         gt_lines.append(f"{t:.6f} {0.02*i:.3f} 0 0 0 0 0 1")
