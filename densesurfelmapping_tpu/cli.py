@@ -204,6 +204,51 @@ def cmd_kitti(args):
     return 0
 
 
+def cmd_multi(args):
+    """Multi-session serving demo: B synthetic streams, one batched
+    dispatch per round (pipeline/multi_session.MultiSessionMapping)."""
+    from .io import synthetic
+    from .pipeline.multi_session import MultiSessionMapping
+
+    import dataclasses
+    from . import kitti_config
+    from .config import SurfelMapConfig
+
+    if args.camera_json:
+        with open(args.camera_json) as f:
+            cfg = SurfelMapConfig.from_json(f.read())
+    else:
+        cfg = kitti_config(surfel_capacity=1 << args.capacity_log2)
+    B = args.streams
+    multi = MultiSessionMapping(cfg, n_streams=B)
+    scene = synthetic.default_scene()
+    t0 = time.perf_counter()
+    for i in range(args.frames):
+        for k in range(B):
+            pose = np.eye(4)
+            pose[0, 3] = 0.4 * i + 0.2 * k   # offset trajectories
+            pose[2, 3] = 0.1 * k
+            img, dep = scene.render(cfg, pose)
+            multi.feed_pose(k, float(i), pose,
+                            is_keyframe=(i % args.kf_every == 0))
+            multi.feed_image(k, float(i), img)
+            multi.feed_depth(k, float(i), dep)
+        multi.step()
+    dt = time.perf_counter() - t0
+    total = args.frames * B
+    print(f"{total} frames across {B} sessions in {dt:.2f}s "
+          f"({total / dt:.1f} frames/s aggregate incl. host render)")
+    for k in range(B):
+        s = multi.session_surfels(k)
+        print(f"session {k}: {len(s['position'])} surfels")
+        if args.out:
+            from .io import export
+            export.save_cloud_pcd(f"{args.out}_s{k}.pcd", s)
+    if args.out:
+        print(f"saved per-session clouds -> {args.out}_s*.pcd")
+    return 0
+
+
 def cmd_tum(args):
     """TUM RGB-D sequence with the RGBD fusion profile."""
     from .io.tum import TumSequence
@@ -325,6 +370,13 @@ def main(argv=None):
                         "(block matching) instead of loading depth_0/*.npy")
     p.add_argument("--max-disparity", type=int, default=128)
     p.set_defaults(fn=cmd_kitti)
+
+    p = sub.add_parser("multi", help="multi-session serving demo "
+                                     "(B streams, one device dispatch/round)")
+    common(p)
+    p.add_argument("--streams", type=int, default=4)
+    p.add_argument("--frames", type=int, default=50)
+    p.set_defaults(fn=cmd_multi)
 
     p = sub.add_parser("tum", help="TUM RGB-D sequence (rgbd profile)")
     common(p)

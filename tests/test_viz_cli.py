@@ -124,3 +124,17 @@ def test_cli_tum_end_to_end(tmp_path):
     assert rc == 0
     import os
     assert os.path.exists(out + ".pcd")
+
+
+def test_cli_multi_session(tmp_path):
+    from densesurfelmapping_tpu.cli import main
+    cam_json = tmp_path / "cam.json"
+    cfg = SurfelMapConfig(camera=SMALL_CAM, surfel_capacity=8192)
+    cam_json.write_text(cfg.to_json())
+    out = str(tmp_path / "multi")
+    rc = main(["multi", "--streams", "2", "--frames", "4",
+               "--camera-json", str(cam_json), "--out", out,
+               "--kf-every", "2"])
+    assert rc == 0
+    import os
+    assert os.path.exists(out + "_s0.pcd") and os.path.exists(out + "_s1.pcd")
