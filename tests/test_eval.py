@@ -72,3 +72,14 @@ def test_end_to_end_map_fidelity():
     assert res["coverage"] > 0.5, res
     assert res["mae"] < 0.25, res
     assert res["inlier_1pct"] > 0.6, res
+
+
+def test_render_empty_map():
+    cfg = SurfelMapConfig(camera=CAM, surfel_capacity=128)
+    d = render_depth(cfg, {"position": np.zeros((0, 3), np.float32),
+                           "normal": np.zeros((0, 3), np.float32),
+                           "size": np.zeros((0,), np.float32)}, np.eye(4))
+    assert d.shape == (CAM.height, CAM.width)
+    assert (d == 0).all()
+    m = depth_metrics(d, np.zeros((CAM.height, CAM.width), np.float32))
+    assert m["gt_pixels"] == 0 and m["coverage"] == 0
