@@ -26,20 +26,28 @@ from ..ops import superpixel, normals, fusion
 
 def fuse_frame(config: SurfelMapConfig, bank: SurfelBank,
                frame: FrameInput) -> Tuple[SurfelBank, dict]:
-    """(bank, frame) -> (bank', stats). Pure; config is static."""
-    seeds, assignment = superpixel.run_slic(config, frame.image, frame.depth)
-    seeds, _space = normals.compute_seed_planes(
-        config, seeds, assignment, frame.depth)
+    """(bank, frame) -> (bank', stats). Pure; config is static.
 
-    bank, fused = fusion.fuse_surfels(
-        config, bank, seeds, assignment, frame.depth, frame.pose,
-        frame.frame_index)
+    Stages carry the reference's timing-print names (fusion_functions.cpp
+    :55,75,82) as profiler scopes so xprof traces line up with the C++
+    stopwatch output."""
+    with jax.named_scope("superpixel"):
+        seeds, assignment = superpixel.run_slic(config, frame.image,
+                                                frame.depth)
+        seeds, _space = normals.compute_seed_planes(
+            config, seeds, assignment, frame.depth)
 
-    new_fields, new_mask = fusion.extract_new_surfels(
-        config, seeds, fused, frame.pose, frame.frame_index)
-    # fast path: tail-append (no full-bank repack; holes are reclaimed by
-    # compact_bank under the driver's fragmentation policy)
-    bank, stats = fusion.append_new(bank, new_fields, new_mask)
+    with jax.named_scope("fuse"):
+        bank, fused = fusion.fuse_surfels(
+            config, bank, seeds, assignment, frame.depth, frame.pose,
+            frame.frame_index)
+
+    with jax.named_scope("initialize"):
+        new_fields, new_mask = fusion.extract_new_surfels(
+            config, seeds, fused, frame.pose, frame.frame_index)
+        # fast path: tail-append (no full-bank repack; holes are reclaimed
+        # by compact_bank under the driver's fragmentation policy)
+        bank, stats = fusion.append_new(bank, new_fields, new_mask)
 
     stats["n_fused_seeds"] = jnp.sum(fused.astype(jnp.int32))
     return bank, stats
