@@ -25,8 +25,12 @@ from ..ops import superpixel, normals, fusion
 
 
 def fuse_frame(config: SurfelMapConfig, bank: SurfelBank,
-               frame: FrameInput) -> Tuple[SurfelBank, dict]:
+               frame: FrameInput, pose_mask: jnp.ndarray | None = None
+               ) -> Tuple[SurfelBank, dict]:
     """(bank, frame) -> (bank', stats). Pure; config is static.
+
+    pose_mask (optional (max_keyframes,) bool): device-resident
+    active-window gating — see `fusion.fuse_surfels`.
 
     Stages carry the reference's timing-print names (fusion_functions.cpp
     :55,75,82) as profiler scopes so xprof traces line up with the C++
@@ -40,7 +44,7 @@ def fuse_frame(config: SurfelMapConfig, bank: SurfelBank,
     with jax.named_scope("fuse"):
         bank, fused = fusion.fuse_surfels(
             config, bank, seeds, assignment, frame.depth, frame.pose,
-            frame.frame_index)
+            frame.frame_index, pose_mask=pose_mask)
 
     with jax.named_scope("initialize"):
         new_fields, new_mask = fusion.extract_new_surfels(
@@ -138,17 +142,9 @@ def fuse_frame_windowed(config: SurfelMapConfig, bank: SurfelBank,
     by out-of-window keyframes are frozen in place (the in-HBM replacement
     for the host migration pool — zero per-frame device->host traffic)."""
     img, dep = ingest_frame(config, image_u8, depth_f16)
-    seeds, assignment = superpixel.run_slic(config, img, dep)
-    seeds, _space = normals.compute_seed_planes(
-        config, seeds, assignment, dep)
-    bank, fused = fusion.fuse_surfels(
-        config, bank, seeds, assignment, dep, pose, frame_index,
+    return fuse_frame(config, bank, FrameInput(
+        image=img, depth=dep, pose=pose, frame_index=frame_index),
         pose_mask=pose_mask)
-    new_fields, new_mask = fusion.extract_new_surfels(
-        config, seeds, fused, pose, frame_index)
-    bank, stats = fusion.append_new(bank, new_fields, new_mask)
-    stats["n_fused_seeds"] = jnp.sum(fused.astype(jnp.int32))
-    return bank, stats
 
 
 @functools.lru_cache(maxsize=4)
