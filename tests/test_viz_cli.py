@@ -138,3 +138,18 @@ def test_cli_multi_session(tmp_path):
     assert rc == 0
     import os
     assert os.path.exists(out + "_s0.pcd") and os.path.exists(out + "_s1.pcd")
+
+
+def test_cli_host_pool_flag(tmp_path):
+    """--host-pool selects the migration driver; outputs still produced."""
+    from densesurfelmapping_tpu.cli import main
+
+    cam_json = tmp_path / "cam.json"
+    cfg = SurfelMapConfig(camera=SMALL_CAM, surfel_capacity=8192)
+    cam_json.write_text(cfg.to_json())
+    out = str(tmp_path / "hp")
+    rc = main(["synthetic", "--frames", "4", "--out", out, "--host-pool",
+               "--camera-json", str(cam_json), "--kf-every", "2"])
+    assert rc == 0
+    import os
+    assert os.path.exists(out + ".pcd")
