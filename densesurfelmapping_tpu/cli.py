@@ -174,14 +174,18 @@ def cmd_kitti(args):
     if args.stereo:
         import jax.numpy as jnp
         from .models import stereo as stereo_model
+        from .ops import depthfilter
         scfg = stereo_model.StereoConfig(max_disparity=args.max_disparity)
 
         def depth_fn(fr):
             # matcher needs signed arithmetic: feed f32 intensities
-            return np.asarray(stereo_model.depth_from_stereo(
+            d = stereo_model.depth_from_stereo(
                 jnp.asarray(np.asarray(fr.image, np.float32)),
                 jnp.asarray(np.asarray(fr.right_image, np.float32)),
-                bf=seq.bf, config=scfg, max_depth=cfg.fuse_far))
+                bf=seq.bf, config=scfg, max_depth=cfg.fuse_far)
+            if not args.no_depth_filter:
+                d = depthfilter.clean_depth(d)
+            return np.asarray(d)
     t_last = 0.0
     last = None
     n = 0
@@ -369,6 +373,9 @@ def main(argv=None):
                    help="compute depth on-device from image_0/image_1 "
                         "(block matching) instead of loading depth_0/*.npy")
     p.add_argument("--max-disparity", type=int, default=128)
+    p.add_argument("--no-depth-filter", action="store_true",
+                   help="skip the median/flying-pixel post-filter on "
+                        "stereo depth")
     p.set_defaults(fn=cmd_kitti)
 
     p = sub.add_parser("multi", help="multi-session serving demo "
