@@ -273,9 +273,12 @@ class ShardedDeviceResidentMapping(DeviceResidentMapping):
         return sum(np.asarray(getattr(self.bank, k)).nbytes
                    for k in FIELDS) / 1024.0
 
-    def save_checkpoint(self, path: str) -> None:
-        raise NotImplementedError("gather the map and checkpoint via "
-                                  "DeviceResidentMapping for now")
-
+    # save_checkpoint is inherited: it reads rows via _rows_host (gathered
+    # from the mesh). load_checkpoint re-distributes them round-robin.
     def load_checkpoint(self, path: str) -> None:
-        raise NotImplementedError
+        from .sharded_driver import scatter_rows_to_sharded
+        super().load_checkpoint(path)      # restores a dense bank + graph
+        n = int(np.asarray(self.bank.count))
+        rows = {k: np.asarray(getattr(self.bank, k))[:n] for k in FIELDS}
+        self.bank = scatter_rows_to_sharded(self.config, self.mesh, rows)
+        self._host_rows = None

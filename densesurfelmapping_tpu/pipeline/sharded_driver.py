@@ -28,6 +28,38 @@ from .driver import SurfelMapping
 from .inactive_pool import FIELDS
 
 
+def scatter_rows_to_sharded(config, mesh, rows: dict):
+    """Host rows -> a (1, N) mesh-sharded bank: rows distributed
+    round-robin across shards, per-shard counts set accordingly."""
+    from ..parallel import sharding
+    import jax
+    from jax.sharding import NamedSharding
+
+    n_shards = mesh.shape["surfel"]
+    banks = sharding.replicate_banks(mesh, config, n_streams=1)
+    cap = banks.position.shape[1]
+    shard_rows = cap // n_shards
+    n = len(rows["color"])
+    owner = np.arange(n) % n_shards
+    counts = np.zeros((1, n_shards), np.int32)
+    host = {k: np.array(np.asarray(getattr(banks, k))) for k in FIELDS}
+    for s in range(n_shards):
+        part_idx = np.nonzero(owner == s)[0]
+        c = len(part_idx)
+        if c > shard_rows:
+            raise ValueError("checkpoint exceeds per-shard capacity")
+        lo = s * shard_rows
+        for k in FIELDS:
+            host[k][0, lo:lo + c] = rows[k][part_idx]
+        counts[0, s] = c
+    from ..parallel.sharding import _bank_pspec
+    spec = _bank_pspec()
+    upd = {k: jax.device_put(host[k], NamedSharding(mesh, getattr(spec, k)))
+           for k in FIELDS}
+    return banks.replace(
+        count=jax.device_put(counts, NamedSharding(mesh, spec.count)), **upd)
+
+
 def gather_sharded_bank(banks, n_shards: int, stream: int = 0) -> dict:
     """Host dict of a sharded bank's live per-shard prefixes, concatenated."""
     counts = np.asarray(banks.count)[stream]         # (n_shards,)

@@ -103,3 +103,31 @@ def test_sharded_device_resident_matches_dense():
 
     m = shard.metrics()
     assert m["active_count"] > 0 and m["inactive_count"] > 0
+
+
+@needs_mesh
+def test_sharded_device_resident_checkpoint_roundtrip(tmp_path):
+    from densesurfelmapping_tpu.pipeline.device_driver import (
+        ShardedDeviceResidentMapping)
+
+    cfg = tiny_config(drift_free_poses=2, surfel_capacity=8192,
+                      compact_interval=1000)
+    mesh = sharding.make_mesh(8, data=1)
+    m = run_scenario(ShardedDeviceResidentMapping(cfg, mesh))
+    path = str(tmp_path / "shard.npz")
+    m.save_checkpoint(path)
+
+    m2 = ShardedDeviceResidentMapping(cfg, mesh)
+    m2.load_checkpoint(path)
+    assert m2.local_indices == m.local_indices
+    a = sorted_rows(m2.map_surfels())
+    b = sorted_rows(m.map_surfels())
+    assert len(a["position"]) == len(b["position"])
+    np.testing.assert_allclose(a["position"], b["position"], atol=1e-5)
+
+    # resumed mapper keeps fusing on the mesh
+    pose = np.eye(4)
+    pose[0, 3] = 2.8
+    img, dep = render_plane(cfg, pose)
+    feed_frame(m2, 8.0, pose, img, dep, is_keyframe=True)
+    assert m2.frames_fused == m.frames_fused + 1
