@@ -175,7 +175,9 @@ def cmd_kitti(args):
         import jax.numpy as jnp
         from .models import stereo as stereo_model
         from .ops import depthfilter
-        scfg = stereo_model.StereoConfig(max_disparity=args.max_disparity)
+        scfg = stereo_model.StereoConfig(
+            max_disparity=args.max_disparity,
+            aggregation="sgm" if args.sgm else "box")
 
         def depth_fn(fr):
             # matcher needs signed arithmetic: feed f32 intensities
@@ -373,6 +375,9 @@ def main(argv=None):
                    help="compute depth on-device from image_0/image_1 "
                         "(block matching) instead of loading depth_0/*.npy")
     p.add_argument("--max-disparity", type=int, default=128)
+    p.add_argument("--sgm", action="store_true",
+                   help="semi-global aggregation for --stereo (denser "
+                        "matches on weak texture)")
     p.add_argument("--no-depth-filter", action="store_true",
                    help="skip the median/flying-pixel post-filter on "
                         "stereo depth")

@@ -39,6 +39,10 @@ class StereoConfig(NamedTuple):
     cost_ceiling: float = 12.0    # mean abs diff ceiling per px (0..255)
     texture_threshold: float = 1.5  # min mean |horizontal gradient| in window
     subpixel: bool = True
+    aggregation: str = "box"      # "box" (streaming WTA) | "sgm"
+    # SGM smoothness penalties (per-px cost units; classic P1 << P2)
+    sgm_p1: float = 1.0
+    sgm_p2: float = 8.0
 
 
 def _box_filter(x: jnp.ndarray, r: int) -> jnp.ndarray:
@@ -72,14 +76,125 @@ def _shift_left(img: jnp.ndarray, d: int, fill: float) -> jnp.ndarray:
                    constant_values=fill)[:, d:]
 
 
+_SGM_BIG = 1e4   # finite out-of-range cost (SGM adds bounded penalties)
+
+
+def _cost_volume(left: jnp.ndarray, right: jnp.ndarray,
+                 cfg: StereoConfig) -> jnp.ndarray:
+    """(D', H, W) f32 box-aggregated SAD costs, D' = max - min disparity."""
+    h, w = left.shape
+    xcoord = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    costs = []
+    for d in range(cfg.min_disparity, cfg.max_disparity):
+        ad = jnp.abs(left - _shift_right(right, d))
+        c = _box_filter(ad, cfg.radius)
+        costs.append(jnp.where(xcoord >= d, c, _SGM_BIG))
+    return jnp.stack(costs)
+
+
+def _sgm_step(p1: float, p2: float):
+    def step(L_prev, c):
+        """One scanline-DP step: L_prev, c are (rows, D)."""
+        Lmin = jnp.min(L_prev, axis=-1, keepdims=True)
+        dm = jnp.pad(L_prev, ((0, 0), (1, 0)),
+                     constant_values=np.inf)[:, :-1]   # from d-1
+        dp = jnp.pad(L_prev, ((0, 0), (0, 1)),
+                     constant_values=np.inf)[:, 1:]    # from d+1
+        cand = jnp.minimum(jnp.minimum(L_prev, jnp.minimum(dm, dp) + p1),
+                           Lmin + p2)
+        L = c + cand - Lmin
+        return L, L
+    return step
+
+
+def _sgm_aggregate(vol: jnp.ndarray, p1: float, p2: float) -> jnp.ndarray:
+    """4-path semi-global aggregation (left/right/up/down) of a (D, H, W)
+    cost volume via lax.scan scanline DP.  The zero init makes the first
+    column of every pass reduce to L = C exactly."""
+    step = _sgm_step(p1, p2)
+
+    vh = jnp.transpose(vol, (2, 1, 0))          # (W, H, D): scan over x
+    zeros_h = jnp.zeros_like(vh[0])
+    _, l2r = jax.lax.scan(step, zeros_h, vh)
+    _, r2l = jax.lax.scan(step, zeros_h, vh, reverse=True)
+    agg = jnp.transpose(l2r + r2l, (2, 1, 0))
+
+    vv = jnp.transpose(vol, (1, 2, 0))          # (H, W, D): scan over y
+    zeros_v = jnp.zeros_like(vv[0])
+    _, t2b = jax.lax.scan(step, zeros_v, vv)
+    _, b2t = jax.lax.scan(step, zeros_v, vv, reverse=True)
+    return agg + jnp.transpose(t2b + b2t, (2, 0, 1))
+
+
+def _disparity_sgm(left: jnp.ndarray, right: jnp.ndarray,
+                   cfg: StereoConfig) -> jnp.ndarray:
+    """Semi-global-matching disparity: 4-path aggregation then WTA with
+    the same sub-pixel / LR-consistency / texture gates as the box path."""
+    h, w = left.shape
+    n_paths = 4.0
+    vol = _cost_volume(left, right, cfg)
+    agg = _sgm_aggregate(vol, cfg.sgm_p1, cfg.sgm_p2)
+    D = agg.shape[0]
+
+    idx = jnp.argmin(agg, axis=0)                       # (H, W)
+    best = jnp.take_along_axis(agg, idx[None], axis=0)[0]
+    disp = (idx + cfg.min_disparity).astype(jnp.float32)
+
+    if cfg.subpixel:
+        im = jnp.clip(idx - 1, 0, D - 1)
+        ip = jnp.clip(idx + 1, 0, D - 1)
+        cm = jnp.take_along_axis(agg, im[None], axis=0)[0]
+        cp = jnp.take_along_axis(agg, ip[None], axis=0)[0]
+        denom = cm + cp - 2.0 * best
+        interior = (idx > 0) & (idx < D - 1) & (denom > 1e-9)
+        delta = jnp.where(interior,
+                          0.5 * (cm - cp) / jnp.maximum(denom, 1e-9), 0.0)
+        disp = disp + jnp.clip(delta, -0.5, 0.5)
+
+    # right-image WTA from the aggregated volume (shift identity) and the
+    # gather-free LR lookup, as in the box path
+    bestR = jnp.full((h, w), np.inf)
+    bestR_d = jnp.zeros((h, w), jnp.int32)
+    for k in range(D):
+        d = k + cfg.min_disparity
+        cR = _shift_left(agg[k], d, np.inf)
+        takeR = cR < bestR
+        bestR = jnp.where(takeR, cR, bestR)
+        bestR_d = jnp.where(takeR, d, bestR_d)
+    dL = idx + cfg.min_disparity
+    dR_at = jnp.zeros((h, w), jnp.float32)
+    for k in range(D):
+        d = k + cfg.min_disparity
+        dR_at = jnp.where(dL == d,
+                          _shift_right(bestR_d.astype(jnp.float32), d),
+                          dR_at)
+    consistent = jnp.abs(dR_at - dL.astype(jnp.float32)) <= cfg.lr_threshold
+
+    # SGM exists to propagate through weak texture, so the WTA texture
+    # gate is scaled way down — only truly constant regions are rejected
+    # (LR consistency carries the reliability check)
+    grad = jnp.abs(left - _shift_right(left, 1))
+    textured = _box_filter(grad, cfg.radius) >= 0.1 * cfg.texture_threshold
+
+    # per-path bounded: aggregated best <= n_paths * (C + p2)
+    ceiling = n_paths * (cfg.cost_ceiling + cfg.sgm_p2)
+    valid = consistent & textured & (best <= ceiling) & (best < _SGM_BIG)
+    return jnp.where(valid, disp, 0.0)
+
+
 def disparity(left: jnp.ndarray, right: jnp.ndarray,
               config: StereoConfig = StereoConfig()) -> jnp.ndarray:
     """(H, W) f32 left disparity map; 0 = invalid.
 
     Jit-friendly: the disparity loop is static (unrolled by trace), every
-    step is full-frame elementwise + two cumsums.
+    step is full-frame elementwise + two cumsums.  With
+    config.aggregation == "sgm", a 4-path semi-global scanline DP
+    aggregates the cost volume first (denser matches on weak texture at
+    ~D x H x W memory and a few extra ms).
     """
     cfg = config
+    if cfg.aggregation == "sgm":
+        return _disparity_sgm(left, right, cfg)
     h, w = left.shape
     big = jnp.float32(1e10)
 

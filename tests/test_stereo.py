@@ -67,3 +67,66 @@ def test_textureless_rejected():
     scfg = stereo.StereoConfig(max_disparity=32)
     disp = np.asarray(stereo.disparity(flat, flat, scfg))
     assert (disp > 0).mean() < 0.2
+
+
+def test_sgm_accuracy(stereo_pair):
+    """SGM aggregation: at least as accurate as box WTA and at least as
+    dense on the textured scene."""
+    cfg, left, true_depth, right = stereo_pair
+    box_cfg = stereo.StereoConfig(max_disparity=64, min_disparity=1, radius=3)
+    sgm_cfg = box_cfg._replace(aggregation="sgm")
+    d_box = np.asarray(stereo.jitted_disparity(box_cfg)(
+        jnp.asarray(left), jnp.asarray(right)))
+    d_sgm = np.asarray(stereo.jitted_disparity(sgm_cfg)(
+        jnp.asarray(left), jnp.asarray(right)))
+
+    true_disp = np.where(true_depth > 0,
+                         CAM.fx * BASELINE / np.maximum(true_depth, 1e-6), 0.)
+    in_range = (true_disp >= 2.0) & (true_disp < 63.0)
+
+    def stats(d):
+        valid = (d > 0) & in_range
+        err = np.abs(d[valid] - true_disp[valid])
+        return valid.mean(), np.median(err), (err < 1.5).mean()
+
+    v_box, med_box, in_box = stats(d_box)
+    v_sgm, med_sgm, in_sgm = stats(d_sgm)
+    assert med_sgm < 0.5, f"sgm median err {med_sgm}"
+    assert v_sgm >= 0.9 * v_box, (v_sgm, v_box)
+    assert in_sgm >= in_box - 0.03
+
+
+def test_sgm_denser_on_weak_texture():
+    """On a weakly textured wall, SGM resolves more pixels than box WTA."""
+    from densesurfelmapping_tpu.config import SurfelMapConfig
+    from densesurfelmapping_tpu.io import synthetic
+
+    cfg = SurfelMapConfig(camera=CAM, surfel_capacity=1024)
+    scene = synthetic.Scene(ground_y=10.0, wall_z=8.0, boxes=[],
+                            max_depth=15.0,
+                            intensity_freq=(0.02, 0.02))  # very low contrast
+    lp = np.eye(4)
+    rp = np.eye(4)
+    rp[0, 3] = BASELINE
+    li, gt = scene.render(cfg, lp)
+    ri, _ = scene.render(cfg, rp)
+    box_cfg = stereo.StereoConfig(max_disparity=64, radius=3,
+                                  texture_threshold=0.2)
+    sgm_cfg = box_cfg._replace(aggregation="sgm")
+    d_box = np.asarray(stereo.jitted_disparity(box_cfg)(
+        jnp.asarray(li), jnp.asarray(ri)))
+    d_sgm = np.asarray(stereo.jitted_disparity(sgm_cfg)(
+        jnp.asarray(li), jnp.asarray(ri)))
+    true_disp = CAM.fx * BASELINE / 8.0
+    ok_box = (np.abs(d_box - true_disp) < 1.0) & (d_box > 0)
+    ok_sgm = (np.abs(d_sgm - true_disp) < 1.0) & (d_sgm > 0)
+    assert ok_sgm.mean() >= ok_box.mean(), (ok_sgm.mean(), ok_box.mean())
+    assert ok_sgm.mean() > 0.2
+
+
+def test_sgm_rejects_constant_image():
+    h, w = 40, 96
+    flat = jnp.full((h, w), 80.0)
+    scfg = stereo.StereoConfig(max_disparity=32, aggregation="sgm")
+    disp = np.asarray(stereo.disparity(flat, flat, scfg))
+    assert (disp > 0).mean() < 0.05
