@@ -194,8 +194,59 @@ class ShardedSurfelMapping(SurfelMapping):
         return (bank_bytes + self.pool.memory_bytes()) / 1024.0
 
     def save_checkpoint(self, path: str) -> None:
-        raise NotImplementedError(
-            "checkpoint the gathered map via SurfelMapping for now")
+        """Base checkpoint format, with the bank gathered from the mesh."""
+        rows = self._gather_bank_host()
+        data = {f"bank_{k}": v for k, v in rows.items()}
+        data["bank_count"] = np.int64(len(rows["color"]))
+        g = self.graph
+        data["kf_cam"] = np.stack([k.cam_pose for k in g.keyframes]) \
+            if len(g) else np.zeros((0, 4, 4))
+        data["kf_loop"] = np.stack([k.loop_pose for k in g.keyframes]) \
+            if len(g) else np.zeros((0, 4, 4))
+        data["kf_stamp"] = np.array([k.stamp for k in g.keyframes])
+        edges = [(i, j) for i, k in enumerate(g.keyframes) for j in k.linked]
+        data["kf_edges"] = np.array(edges, np.int64).reshape(-1, 2)
+        data["local_indices"] = np.array(sorted(self.local_indices), np.int64)
+        data["pool_keys"] = np.array(sorted(self.pool.slabs), np.int64)
+        for k in FIELDS:
+            slabs = [self.pool.slabs[i][k] for i in sorted(self.pool.slabs)]
+            data[f"pool_{k}"] = (np.concatenate(slabs) if slabs else
+                                 np.zeros((0, 3) if k in ("position", "normal")
+                                          else (0,), np.float32))
+        data["pool_counts"] = np.array(
+            [len(self.pool.slabs[i]["color"])
+             for i in sorted(self.pool.slabs)], np.int64)
+        data["frames_fused"] = np.int64(self.frames_fused)
+        if self._alignment is not None:
+            data["alignment"] = self._alignment
+        np.savez_compressed(path, **data)
 
     def load_checkpoint(self, path: str) -> None:
-        raise NotImplementedError
+        """Restore graph/pool on host; re-distribute bank rows round-robin
+        across the mesh shards."""
+        from .inactive_pool import InactivePool
+        from .pose_graph import PoseGraph
+
+        z = np.load(path, allow_pickle=False)
+        n = int(z["bank_count"])
+        rows = {k: z[f"bank_{k}"][:n] for k in FIELDS}
+        self.bank = scatter_rows_to_sharded(self.config, self.mesh, rows)
+        self.graph = PoseGraph()
+        for cam, loop, stamp in zip(z["kf_cam"], z["kf_loop"], z["kf_stamp"]):
+            idx = self.graph.add_keyframe(cam, float(stamp))
+            self.graph.keyframes[idx].loop_pose = np.array(loop)
+        for i, j in z["kf_edges"]:
+            kf = self.graph.keyframes[int(i)]
+            if int(j) not in kf.linked:
+                kf.linked.append(int(j))
+        self.local_indices = set(int(i) for i in z["local_indices"])
+        self.pool = InactivePool()
+        off = 0
+        for key, cnt in zip(z["pool_keys"], z["pool_counts"]):
+            slab = {k: z[f"pool_{k}"][off:off + int(cnt)].copy()
+                    for k in FIELDS}
+            self.pool.slabs[int(key)] = slab
+            off += int(cnt)
+        self.frames_fused = int(z["frames_fused"])
+        if "alignment" in z:
+            self._alignment = np.array(z["alignment"])

@@ -131,3 +131,30 @@ def test_sharded_device_resident_checkpoint_roundtrip(tmp_path):
     img, dep = render_plane(cfg, pose)
     feed_frame(m2, 8.0, pose, img, dep, is_keyframe=True)
     assert m2.frames_fused == m.frames_fused + 1
+
+
+@needs_mesh
+def test_sharded_host_pool_checkpoint_roundtrip(tmp_path):
+    cfg = tiny_config(drift_free_poses=2, surfel_capacity=8192,
+                      migration_buffer=1024, stats_interval=2,
+                      compact_upload=False)
+    mesh = sharding.make_mesh(8, data=1)
+    m = run_scenario(ShardedSurfelMapping(cfg, mesh))
+    path = str(tmp_path / "hp_shard.npz")
+    m.save_checkpoint(path)
+
+    m2 = ShardedSurfelMapping(cfg, mesh)
+    m2.load_checkpoint(path)
+    assert m2.local_indices == m.local_indices
+    assert set(m2.pool.slabs) == set(m.pool.slabs)
+    a = sorted_rows(m2.active_surfels(min_updates=1))
+    b = sorted_rows(m.active_surfels(min_updates=1))
+    assert len(a["position"]) == len(b["position"])
+    np.testing.assert_allclose(a["position"], b["position"], atol=1e-5)
+
+    # resumed mapper keeps working on the mesh
+    pose = np.eye(4)
+    pose[0, 3] = 2.8
+    img, dep = render_plane(cfg, pose)
+    feed_frame(m2, 8.0, pose, img, dep, is_keyframe=True)
+    assert m2.frames_fused == m.frames_fused + 1
