@@ -165,7 +165,20 @@ def pack_frame(config: SurfelMapConfig, image: np.ndarray,
 
     The per-transfer latency of the host->device link exceeds its
     per-byte cost at this frame size; one upload beats two (see
-    `fuse_step.fuse_frame_packed` for the in-jit decode)."""
+    `fuse_step.fuse_frame_packed` for the in-jit decode).
+
+    f32 inputs take the native C++ encoder (clip/convert in one
+    memory-bound pass, ~5x the numpy chain); other dtypes fall back to
+    the numpy path."""
+    image = np.asarray(image)
+    depth = np.asarray(depth)
+    if image.dtype == np.float32 and depth.dtype == np.float32:
+        from ..native import loader as native
+        if native.available():
+            if image.shape != (config.height, config.width):
+                raise ValueError(f"frame shape {image.shape} != config "
+                                 f"camera {(config.height, config.width)}")
+            return native.pack_frame(image, depth)
     ci, cd = compact_frame(config, image, depth)
     return np.concatenate([ci.reshape(-1),
                            cd.reshape(-1).view(np.uint8)])

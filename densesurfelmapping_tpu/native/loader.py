@@ -31,7 +31,7 @@ def build(force: bool = False) -> bool:
         return True
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-mf16c",
              "-o", _SO, _SRC],
             check=True, capture_output=True)
         return True
@@ -61,6 +61,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.dsm_write_pcd.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64, ctypes.c_int]
+        lib.dsm_pack_frame.restype = ctypes.c_int
+        lib.dsm_pack_frame.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8)]
         lib.dsm_bfs.restype = ctypes.c_int64
         lib.dsm_bfs.argtypes = [ctypes.POINTER(ctypes.c_int64)] * 2 \
             + [ctypes.c_int64] * 3 + [ctypes.POINTER(ctypes.c_int64)]
@@ -110,3 +114,17 @@ def bfs(indptr: np.ndarray, indices: np.ndarray, root: int,
                       _ptr(indices, ctypes.c_int64),
                       n, int(root), int(radius), _ptr(out, ctypes.c_int64))
     return out[:cnt]
+
+
+def pack_frame(img: np.ndarray, dep: np.ndarray) -> np.ndarray:
+    """f32 intensity + f32 depth -> packed (3*n,) u8 upload buffer."""
+    lib = _load()
+    img = np.ascontiguousarray(img, np.float32)
+    dep = np.ascontiguousarray(dep, np.float32)
+    out = np.empty(3 * img.size, np.uint8)
+    rc = lib.dsm_pack_frame(_ptr(img, ctypes.c_float),
+                            _ptr(dep, ctypes.c_float),
+                            img.size, _ptr(out, ctypes.c_uint8))
+    if rc:
+        raise RuntimeError("native pack_frame failed")
+    return out

@@ -128,3 +128,29 @@ int64_t dsm_bfs(const int64_t* indptr, const int64_t* indices,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Packed frame encoder: f32 intensity + f32 depth -> one u8 buffer of
+// [u8 intensity bytes | f16 depth bytes] (the upload layout of
+// core/state.pack_frame).  Python-side numpy clip/astype costs ~2-4 ms per
+// KITTI frame; this loop is memory-bound (~0.3 ms).
+// img/dep: n f32; out: 3*n u8. returns 0.
+// ---------------------------------------------------------------------------
+int dsm_pack_frame(const float* img, const float* dep, int64_t n,
+                   uint8_t* out) {
+    uint8_t* oi = out;
+    _Float16* od = reinterpret_cast<_Float16*>(out + n);
+    for (int64_t i = 0; i < n; ++i) {
+        float v = img[i];
+        v = v < 0.0f ? 0.0f : (v > 255.0f ? 255.0f : v);
+        oi[i] = (uint8_t)v;
+    }
+    for (int64_t i = 0; i < n; ++i) {
+        od[i] = (_Float16)dep[i];
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -209,3 +209,24 @@ def test_tum_sequence(tmp_path):
     # association rejects out-of-tolerance stamps
     pairs = associate([(0.0, "a")], [(1.0, "b")], tolerance=0.02)
     assert pairs == []
+
+
+def test_native_pack_frame_matches_numpy():
+    from densesurfelmapping_tpu.config import SurfelMapConfig, CameraIntrinsics
+    from densesurfelmapping_tpu.core.state import pack_frame, compact_frame
+    from densesurfelmapping_tpu.native import loader as native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    cam = CameraIntrinsics(width=64, height=48, fx=60.0, fy=60.0,
+                           cx=31.5, cy=23.5)
+    cfg = SurfelMapConfig(camera=cam, surfel_capacity=256)
+    rng = np.random.default_rng(0)
+    img = (rng.uniform(-10, 280, (48, 64))).astype(np.float32)
+    dep = (rng.uniform(0, 40, (48, 64))).astype(np.float32)
+    dep[0, 0] = np.inf
+
+    got = pack_frame(cfg, img, dep)          # native path (f32 inputs)
+    ci, cd = compact_frame(cfg, img, dep)    # numpy path
+    want = np.concatenate([ci.reshape(-1), cd.reshape(-1).view(np.uint8)])
+    np.testing.assert_array_equal(got, want)
