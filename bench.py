@@ -102,4 +102,10 @@ def main(n_frames: int = 60, warmup: int = 3):
 
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    main(n)
+    try:
+        main(n)
+    except Exception as e:   # transient relay/backend aborts happen
+        print(f"# bench attempt failed ({type(e).__name__}: {e}); "
+              "retrying once", file=sys.stderr)
+        time.sleep(60)
+        main(n)
