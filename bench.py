@@ -1,19 +1,37 @@
 """Benchmark: depth frames fused per second at KITTI resolution on one chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline: the C++ reference sustains >=5 frames/s on a multicore CPU
 (BASELINE.md) — vs_baseline = our frames/s divided by 5.
 
 The scene is the deterministic procedural world from io/synthetic (KITTI
 camera geometry, frames pre-rendered and pre-padded so the measurement is
 the mapping pipeline: H2D transfer + full fuse step + map bookkeeping).
+
+Reporting: the replay is split into segments (every segment fuses real,
+distinct frames); the headline `value` is the MEDIAN segment fps — the
+sustained-throughput number — with the best segment recorded separately as
+`value_best`.  The TPU sits behind a shared relay whose latency varies
+3-10x between runs; if the whole pass lands in a clearly degraded window
+(median below $DSM_BENCH_DEGRADED_FPS, default 150 = 30x baseline), the
+bench sleeps once and re-measures, reporting the better pass and flagging
+`retried: true`.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+DEGRADED_FPS = float(os.environ.get("DSM_BENCH_DEGRADED_FPS", "150"))
+
+
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
 def main(n_frames: int = 60, warmup: int = 3):
@@ -34,39 +52,31 @@ def main(n_frames: int = 60, warmup: int = 3):
     # to the device as ONE packed buffer (u8 intensity + f16 depth bytes,
     # decoded in-step) — per-transfer latency dominates per-byte cost here
     rendered = []
-    for i, pose in enumerate(poses):
+    for pose in poses:
         img, dep = scene.render(cfg, pose)
         rendered.append((pack_frame(cfg, img, dep),
                          pose.astype(np.float32)))
 
     step = jitted_fuse_frame_packed(cfg)
-    bank = SurfelBank.empty(cfg.surfel_capacity)
 
-    def run(i, bank):
-        buf, pose = rendered[i]
-        bank, stats = step(bank, jnp.asarray(buf),
-                           jnp.asarray(pose), jnp.int32(i))
-        return bank, stats
-
-    for i in range(warmup):
-        bank, stats = run(i, bank)
-    jax.block_until_ready(bank.count)
-
-    # the TPU sits behind a shared relay whose latency varies between
-    # moments; measure every segment of the replay and report the best
-    # sustained window (all segments fuse real, distinct frames).  If the
-    # whole pass lands in a degraded relay window, wait once and retry.
     n_segments = 5
     seg = n_frames // n_segments
-    seg_fps = []
 
     def measure():
-        nonlocal bank
-        frame = warmup
         bank = SurfelBank.empty(cfg.surfel_capacity)
+
+        def run(i, bank):
+            buf, pose = rendered[i]
+            bank, stats = step(bank, jnp.asarray(buf),
+                               jnp.asarray(pose), jnp.int32(i))
+            return bank, stats
+
         for i in range(warmup):
             bank, _ = run(i, bank)
         jax.block_until_ready(bank.count)
+
+        seg_fps = []
+        frame = warmup
         for _ in range(n_segments):
             t0 = time.perf_counter()
             for _ in range(seg):
@@ -74,28 +84,28 @@ def main(n_frames: int = 60, warmup: int = 3):
                 frame += 1
             jax.block_until_ready(bank.count)
             seg_fps.append(seg / (time.perf_counter() - t0))
+        return seg_fps, bank
 
-    frame = warmup
-    for _ in range(n_segments):
-        t0 = time.perf_counter()
-        for _ in range(seg):
-            bank, stats = run(frame, bank)
-            frame += 1
-        jax.block_until_ready(bank.count)
-        seg_fps.append(seg / (time.perf_counter() - t0))
-
-    if max(seg_fps) < 400.0:   # degraded window: one bounded retry
+    seg_fps, bank = measure()
+    retried = False
+    if _median(seg_fps) < DEGRADED_FPS:  # degraded relay window: one retry
         time.sleep(45)
-        measure()
+        seg2, bank2 = measure()
+        retried = True
+        if _median(seg2) > _median(seg_fps):
+            seg_fps, bank = seg2, bank2
 
-    fps = max(seg_fps)
+    fps = _median(seg_fps)
     print(json.dumps({
         "metric": "kitti_frames_fused_per_sec",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 5.0, 2),
+        "value_best": round(max(seg_fps), 2),
+        "segments": [round(f, 1) for f in seg_fps],
+        "retried": retried,
     }))
-    print(f"# segments fps={[round(f, 1) for f in seg_fps]}, final map "
+    print(f"# median={fps:.1f} best={max(seg_fps):.1f} fps, final map "
           f"{int(bank.count)} active surfels, backend={jax.default_backend()}",
           file=sys.stderr)
 
@@ -105,7 +115,10 @@ if __name__ == "__main__":
     try:
         main(n)
     except Exception as e:   # transient relay/backend aborts happen
+        from densesurfelmapping_tpu.utils import cache as _cache
+        stale = _cache.maybe_clear_stale_cache(e)
         print(f"# bench attempt failed ({type(e).__name__}: {e}); "
-              "retrying once", file=sys.stderr)
-        time.sleep(60)
+              f"{'cleared stale jit cache, ' if stale else ''}retrying once",
+              file=sys.stderr)
+        time.sleep(10 if stale else 60)
         main(n)

@@ -28,12 +28,19 @@ def _shifts3x3(x: jnp.ndarray):
     return [p[dy:dy + h, dx:dx + w] for dy in range(3) for dx in range(3)]
 
 
-def median3x3(depth: jnp.ndarray, min_valid: int = 5) -> jnp.ndarray:
+def median3x3(depth: jnp.ndarray, min_valid: int = 5,
+              fill_invalid: bool = False) -> jnp.ndarray:
     """Invalid-aware 3x3 median of a depth map (0 = invalid).
 
     Invalid neighbors are replaced by +inf so they sort to the top and
     never win; the median index is chosen from the VALID count, and
     pixels with fewer than `min_valid` valid neighbors become invalid.
+
+    By default a pixel whose own (center) depth is invalid STAYS invalid —
+    filling it from a one-sided neighbor median would resurrect exactly the
+    occlusion-boundary pixels suppress_flyers just removed.  Pass
+    `fill_invalid=True` for hole-filling behavior when the input has not
+    been gated upstream.
     """
     planes = _shifts3x3(depth)
     valid = [jnp.where(p > 0, p, jnp.inf) for p in planes]
@@ -45,6 +52,8 @@ def median3x3(depth: jnp.ndarray, min_valid: int = 5) -> jnp.ndarray:
     idx = jnp.clip((n_valid - 1) // 2, 0, 8)
     med = jnp.take_along_axis(s, idx[None], axis=0)[0]
     ok = n_valid >= min_valid
+    if not fill_invalid:
+        ok = ok & (depth > 0)
     return jnp.where(ok & jnp.isfinite(med), med, 0.0)
 
 

@@ -107,9 +107,10 @@ class SurfelMapping:
     def feed_depth(self, stamp: float, depth: np.ndarray) -> None:
         self._check_frame("depth", depth)
         depth = np.asarray(depth)
-        if not np.isfinite(depth).all():
-            depth = np.where(np.isfinite(depth), depth, 0.0)
-            self.dropped["nonfinite_depth_px"] += 1
+        finite = np.isfinite(depth)
+        if not finite.all():
+            depth = np.where(finite, depth, 0.0)
+            self.dropped["nonfinite_depth_px"] += int((~finite).sum())
         self.depth_buffer.append((float(stamp), depth))
         self._trim_buffers()
         self._synchronize()

@@ -30,3 +30,37 @@ def enable_compilation_cache(path: str | None = None) -> str:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     return path
+
+
+# Error-message fragments that mean "the persistent cache holds executables
+# compiled against a different runtime" (e.g. a libtpu roll between the AOT
+# compile and this process): the fix is to drop the cache and recompile, not
+# to retry the same load.
+_STALE_CACHE_MARKERS = (
+    "libtpu version mismatch",
+    "version mismatch",
+    "FAILED_PRECONDITION",
+    "deserializ",  # Deserialization failures of cached executables
+    "incompatible serialized executable",
+)
+
+
+def maybe_clear_stale_cache(exc: BaseException) -> bool:
+    """If `exc` looks like a stale-compilation-cache failure (libtpu/AOT
+    version mismatch after a runtime roll), wipe the current backend's cache
+    directory so the retry recompiles fresh.  Returns True if cleared."""
+    import shutil
+
+    import jax
+
+    msg = f"{type(exc).__name__}: {exc}"
+    if not any(m.lower() in msg.lower() for m in _STALE_CACHE_MARKERS):
+        return False
+    path = jax.config.jax_compilation_cache_dir
+    if not path or not os.path.isdir(path):
+        return False
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    # also drop JAX's in-process executable cache so re-jit recompiles
+    jax.clear_caches()
+    return True

@@ -14,7 +14,9 @@ def test_median_removes_speckle():
     d[3, 4] = 0.0           # hole
     out = np.asarray(DF.median3x3(jnp.asarray(d)))
     assert out[7, 9] == 5.0
-    assert out[3, 4] == 5.0          # hole filled by valid neighbors
+    assert out[3, 4] == 0.0          # invalid center stays invalid (no-fill)
+    filled = np.asarray(DF.median3x3(jnp.asarray(d), fill_invalid=True))
+    assert filled[3, 4] == 5.0       # opt-in hole-fill from valid neighbors
     np.testing.assert_allclose(out[10:, 10:], 5.0)
 
 

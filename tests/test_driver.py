@@ -360,7 +360,7 @@ def test_input_validation_and_drop_accounting():
     m.feed_image(0.0, img)
     m.feed_depth(0.0, bad)
     assert m.frames_fused == 1
-    assert m.dropped["nonfinite_depth_px"] == 1
+    assert m.dropped["nonfinite_depth_px"] == 2  # counts pixels, not frames
     assert not np.isnan(np.asarray(m.bank.position)).any()
     # stale image (stamp older than next pose) is dropped and counted
     m.feed_image(0.5, img)
