@@ -44,11 +44,34 @@ class DeviceResidentMapping(SurfelMapping):
     def __init__(self, config: SurfelMapConfig,
                  kitti_alignment: bool = False):
         super().__init__(config, kitti_alignment)
-        from .fuse_step import jitted_fuse_frame_windowed_packed
-        self._fuse_windowed = jitted_fuse_frame_windowed_packed(config)
+        self._build_window_jits()
         self._window_np = np.zeros(config.max_keyframes, bool)
         self._first_local = 0
         self._host_rows: Optional[dict] = None   # readout cache
+
+    def _build_window_jits(self) -> None:
+        """(Re)build the jitted programs whose signatures depend on
+        config.max_keyframes; called again on keyframe-capacity growth."""
+        from .fuse_step import jitted_fuse_frame_windowed_packed
+        self._fuse_windowed = jitted_fuse_frame_windowed_packed(self.config)
+
+    def _ensure_keyframe_capacity(self) -> None:
+        """Grow max_keyframes to the next power of two when the pose graph
+        outgrows the window-mask length, instead of crashing.
+
+        The mask is the ONLY device-side object shaped by max_keyframes
+        (the bank stores per-row keyframe indices, unbounded), so growth is
+        a config replace + re-jit — a rare, persistent-cache-amortized
+        event.  Mirrors the unbounded pose DB of surfel_map.h:36-46."""
+        import dataclasses
+
+        if len(self.graph) <= self.config.max_keyframes:
+            return
+        new_p = self.config.max_keyframes
+        while new_p < len(self.graph):
+            new_p *= 2
+        self.config = dataclasses.replace(self.config, max_keyframes=new_p)
+        self._build_window_jits()
 
     # ------------------------------------------------------------------
     # migration == window-mask update (no device work at all)
@@ -56,10 +79,7 @@ class DeviceResidentMapping(SurfelMapping):
     def _move_add_surfels(self, ref_index: int) -> None:
         window = self.graph.driftfree_window(ref_index,
                                              self.config.drift_free_poses)
-        if len(self.graph) > self.config.max_keyframes:
-            raise RuntimeError(
-                f"keyframe count {len(self.graph)} exceeds "
-                f"config.max_keyframes={self.config.max_keyframes}")
+        self._ensure_keyframe_capacity()
         self.local_indices = set(window)
         # fresh allocation every frame: the previous mask may still be
         # aliased by an in-flight async dispatch (jnp.asarray of host
@@ -190,6 +210,7 @@ class DeviceResidentMapping(SurfelMapping):
             if int(j) not in kf.linked:
                 kf.linked.append(int(j))
         self.local_indices = set(int(i) for i in z["local_indices"])
+        self._ensure_keyframe_capacity()
         mask = np.zeros(self.config.max_keyframes, bool)
         mask[sorted(self.local_indices)] = True
         self._window_np = mask
@@ -217,10 +238,15 @@ class ShardedDeviceResidentMapping(DeviceResidentMapping):
         self.n_shards = mesh.shape["surfel"]
         super().__init__(config, kitti_alignment)
         self.bank = sharding.replicate_banks(mesh, config, n_streams=1)
-        self._sfuse_w = sharding.sharded_fuse_frame_windowed(config, mesh)
-        self._scompact = sharding.sharded_compact(config, mesh)
-        self._swarp = sharding.sharded_warp_by_pose(config, mesh)
         self._shard_frames = sharding.shard_frames
+
+    def _build_window_jits(self) -> None:
+        super()._build_window_jits()
+        from ..parallel import sharding
+        self._sfuse_w = sharding.sharded_fuse_frame_windowed(
+            self.config, self.mesh)
+        self._scompact = sharding.sharded_compact(self.config, self.mesh)
+        self._swarp = sharding.sharded_warp_by_pose(self.config, self.mesh)
 
     def _fuse_frame(self, image, depth, pose, ref_index: int) -> None:
         from ..core.state import FrameInput, pad_frame

@@ -89,12 +89,31 @@ def test_device_checkpoint_roundtrip(pair, tmp_path):
     assert m2.frames_fused == dev.frames_fused + 1
 
 
-def test_keyframe_bound_enforced():
-    cfg = tiny_config(max_keyframes=3)
-    m = DeviceResidentMapping(cfg)
-    with pytest.raises(RuntimeError):
-        for i in range(5):
-            pose = np.eye(4)
-            pose[0, 3] = 0.4 * i
-            img, dep = render_plane(cfg, pose)
+def test_keyframe_capacity_grows():
+    """Outgrowing max_keyframes must grow the window mask (re-jit), not
+    crash, and produce the same map as a driver sized right from the start
+    (mirrors the unbounded pose DB of surfel_map.h:36-46)."""
+    small = tiny_config(max_keyframes=4, drift_free_poses=2)
+    big = tiny_config(max_keyframes=16, drift_free_poses=2)
+    ms, mb = DeviceResidentMapping(small), DeviceResidentMapping(big)
+    for i in range(10):
+        pose = np.eye(4)
+        pose[0, 3] = 0.4 * i
+        img, dep = render_plane(small, pose)
+        for m in (ms, mb):
             feed_frame(m, float(i), pose, img, dep, is_keyframe=True)
+    assert ms.config.max_keyframes == 16   # grew 4 -> 8 -> 16
+    assert ms.frames_fused == mb.frames_fused == 10
+    a, b = sorted_rows(ms.map_surfels()), sorted_rows(mb.map_surfels())
+    assert len(a["position"]) == len(b["position"])
+    np.testing.assert_allclose(a["position"], b["position"], atol=1e-4)
+    # checkpoint saved under the grown capacity loads into a small config
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "grown.npz")
+        ms.save_checkpoint(path)
+        m2 = DeviceResidentMapping(tiny_config(max_keyframes=4,
+                                               drift_free_poses=2))
+        m2.load_checkpoint(path)
+        assert m2.config.max_keyframes >= 10
+        assert m2.local_indices == ms.local_indices
