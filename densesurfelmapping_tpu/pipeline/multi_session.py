@@ -1,17 +1,29 @@
 """MultiSessionMapping: B concurrent mapping sessions on one chip.
 
-Serving mode the reference cannot express (one ROS process = one session):
-B independent camera streams share one device dispatch per round — banks
-carry a leading stream axis, the windowed fuse step is vmapped, and every
-session keeps its own host-side pose graph, sync buffers, and active-window
-mask.  Uses the zero-readback window-mask lifecycle of
-`DeviceResidentMapping` (see pipeline/device_driver.py).
+Serving mode the reference cannot express (one ROS process = one session,
+`ros_node.cpp:13-53`): B independent camera streams share one device
+dispatch per round — banks carry a leading stream axis, the windowed fuse
+step is vmapped, and every session keeps its own host-side pose graph, sync
+buffers, and active-window mask.  Uses the zero-readback window-mask
+lifecycle of `DeviceResidentMapping` (see pipeline/device_driver.py).
 
-Dispatch policy: frames are queued per session; a batched step fires when
-every session has a synchronized frame (`step_ready`), or on `flush()`,
-which pads absent sessions with a zero-depth no-op frame (fuses nothing,
-kills nothing — the frame index of such a pad repeats the session's last
-reference index so staleness clocks do not advance).
+Serving lifecycle:
+
+* dispatch — frames queue per session; a batched step fires when every
+  session has a synchronized frame (`step_ready`), on `flush()` (absent
+  sessions get a zero-depth no-op pad), or via `pump()`, which applies the
+  flush-timeout policy: a ready frame older than `flush_timeout` seconds
+  forces a padded step so one stalled stream cannot starve the fleet.
+* capacity — banks compact on the fixed `config.compact_interval` schedule
+  (batched jit(vmap(compact_bank)), no readbacks), and surfels dropped on a
+  full tail are accumulated on device and surfaced via `session_metrics()`
+  together with a saturation ratio, so operators can detect overflow.
+* elasticity — `add_session()` / `remove_session(k)` re-batch the banks at
+  runtime (shape change = one cached re-jit); removal returns the final
+  map rows.
+* persistence — per-session `save_cloud` / `save_mesh` / `save_checkpoint`
+  / `load_checkpoint` match the solo drivers' export semantics
+  (`save_cloud`/`save_mesh`, surfel_map.cpp:1153-1280).
 
 Measured: 4 sessions aggregate 802 frames/s on one v5e vs 624 fps for one.
 """
@@ -19,8 +31,10 @@ Measured: 4 sessions aggregate 802 frames/s on one v5e vs 624 fps for one.
 from __future__ import annotations
 
 import collections
+import dataclasses
 import functools
-from typing import Optional, Sequence, Tuple
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +44,7 @@ from ..config import SurfelMapConfig
 from ..core import geometry
 from ..core.state import pack_frame
 from ..ops import warp as warp_ops
+from ..ops.fusion import compact_bank
 from ..parallel import multistream
 from .fuse_step import fuse_frame_windowed_packed
 from .inactive_pool import FIELDS
@@ -50,6 +65,16 @@ def _batched_warp(config: SurfelMapConfig):
                    donate_argnums=(0,))
 
 
+@functools.lru_cache(maxsize=1)
+def _batched_compact():
+    return jax.jit(jax.vmap(compact_bank), donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=1)
+def _accumulate():
+    return jax.jit(lambda acc, x: acc + x.astype(acc.dtype))
+
+
 class _Session:
     """Host state of one stream (pose graph, sync buffers, window mask)."""
 
@@ -62,17 +87,26 @@ class _Session:
         self.first_local = 0
         self.last_ref = 0
         self.frames_fused = 0
+        self.dropped = collections.Counter()
         self.pending_warp: Optional[Tuple[np.ndarray, np.ndarray]] = None
+
+    def grow_window(self, new_p: int) -> None:
+        w = np.zeros(new_p, bool)
+        w[:len(self.window)] = self.window
+        self.window = w
 
 
 class MultiSessionMapping:
-    def __init__(self, config: SurfelMapConfig, n_streams: int):
+    def __init__(self, config: SurfelMapConfig, n_streams: int,
+                 flush_timeout: float = 0.1):
         self.config = config
         self.n_streams = n_streams
+        self.flush_timeout = float(flush_timeout)
         self.sessions = [_Session(config) for _ in range(n_streams)]
         self.banks = multistream.make_banks(config, n_streams)
         self._step = _batched_windowed_step(config)
         self._warp = _batched_warp(config)
+        self._drop_accum = jnp.zeros((n_streams,), jnp.int32)
         self.stamp_tolerance = 1e-6
         self.rounds = 0
 
@@ -80,10 +114,12 @@ class MultiSessionMapping:
     # per-session feeds (same schema as SurfelMapping)
     # ------------------------------------------------------------------
     def feed_image(self, stream: int, stamp: float, image) -> None:
-        self.sessions[stream].image_buffer.append((float(stamp), image))
+        self.sessions[stream].image_buffer.append(
+            (float(stamp), image, time.monotonic()))
 
     def feed_depth(self, stream: int, stamp: float, depth) -> None:
-        self.sessions[stream].depth_buffer.append((float(stamp), depth))
+        self.sessions[stream].depth_buffer.append(
+            (float(stamp), depth, time.monotonic()))
 
     def feed_pose(self, stream: int, stamp: float, pose,
                   loop_path=None, loop_edges: Sequence = (),
@@ -110,26 +146,29 @@ class MultiSessionMapping:
         s.graph.add_loop_edges(loop_edges)
         ref_pose = s.graph.keyframes[int(reference_index)].cam_pose
         rel = geometry.invert_se3(ref_pose) @ pose
-        s.pose_buffer.append((float(stamp), rel, int(reference_index)))
+        s.pose_buffer.append(
+            (float(stamp), rel, int(reference_index), time.monotonic()))
 
     # ------------------------------------------------------------------
     # batched stepping
     # ------------------------------------------------------------------
     def _session_ready_frame(self, s: _Session):
         while s.pose_buffer:
-            stamp, rel, ref = s.pose_buffer[0]
-            img = self._front(s.image_buffer, stamp)
-            dep = self._front(s.depth_buffer, stamp)
+            stamp, rel, ref, t_arr = s.pose_buffer[0]
+            img = self._front(s, s.image_buffer, stamp, "images")
+            dep = self._front(s, s.depth_buffer, stamp, "depths")
             if img is None or dep is None:
                 return None
-            return stamp, rel, ref, img[1], dep[1]
+            ready_at = max(t_arr, img[2], dep[2])
+            return stamp, rel, ref, img[1], dep[1], ready_at
         return None
 
-    def _front(self, buf, stamp):
+    def _front(self, s: _Session, buf, stamp, kind: str):
         while buf:
             t = buf[0][0]
             if t < stamp - self.stamp_tolerance:
                 buf.popleft()
+                s.dropped[kind] += 1      # stale frame, counted like driver.py
             elif abs(t - stamp) <= self.stamp_tolerance:
                 return buf[0]
             else:
@@ -140,6 +179,39 @@ class MultiSessionMapping:
         return all(self._session_ready_frame(s) is not None
                    for s in self.sessions)
 
+    def pump(self, now: Optional[float] = None) -> int:
+        """Serving dispatch policy: step while every session is ready; then,
+        if any ready frame has been waiting longer than flush_timeout for
+        the other streams, fire one padded step.  Returns frames fused."""
+        fused = 0
+        while self.step_ready():
+            fused += self.step()
+        if now is None:
+            now = time.monotonic()
+        oldest = None
+        for s in self.sessions:
+            r = self._session_ready_frame(s)
+            if r is not None:
+                oldest = r[5] if oldest is None else min(oldest, r[5])
+        if oldest is not None and now - oldest > self.flush_timeout:
+            fused += self.step(flush=True)
+        return fused
+
+    def _ensure_keyframe_capacity(self) -> None:
+        """Grow the shared window-mask length when any session's pose graph
+        outgrows it (same policy as DeviceResidentMapping)."""
+        need = max(len(s.graph) for s in self.sessions)
+        if need <= self.config.max_keyframes:
+            return
+        new_p = self.config.max_keyframes
+        while new_p < need:
+            new_p *= 2
+        self.config = dataclasses.replace(self.config, max_keyframes=new_p)
+        self._step = _batched_windowed_step(self.config)
+        self._warp = _batched_warp(self.config)
+        for s in self.sessions:
+            s.grow_window(new_p)
+
     def step(self, flush: bool = False) -> int:
         """Fuse one frame per session in a single batched dispatch.
 
@@ -149,6 +221,7 @@ class MultiSessionMapping:
         if not flush and not self.step_ready():
             raise RuntimeError("step() before step_ready(); "
                                "use flush=True to pad")
+        self._ensure_keyframe_capacity()
         cfg = self.config
         h, w = cfg.height, cfg.width
         bufs = np.zeros((self.n_streams, 3 * h * w), np.uint8)
@@ -162,10 +235,8 @@ class MultiSessionMapping:
                 refs[k] = s.last_ref
                 masks[k] = s.window
                 continue
-            stamp, rel, ref, img, dep = ready
+            stamp, rel, ref, img, dep, _ = ready
             window = s.graph.driftfree_window(ref, cfg.drift_free_poses)
-            if len(s.graph) > cfg.max_keyframes:
-                raise RuntimeError("session exceeds config.max_keyframes")
             s.window[:] = False
             s.window[list(window)] = True
             s.first_local = min(window) if window else 0
@@ -181,11 +252,23 @@ class MultiSessionMapping:
             s.frames_fused += 1
             fused_real += 1
 
-        self.banks, _stats = self._step(
+        self.banks, stats = self._step(
             self.banks, jnp.asarray(bufs),
             jnp.asarray(poses), jnp.asarray(refs), jnp.asarray(masks))
+        if "n_dropped" in stats:
+            # device-side accumulation (one tiny fused add, no readback)
+            self._drop_accum = _accumulate()(self._drop_accum,
+                                             stats["n_dropped"])
         self.rounds += 1
+        if self.rounds % cfg.compact_interval == 0:
+            self.compact()
         return fused_real
+
+    def compact(self) -> None:
+        """Batched hole-elimination repack of every session's bank
+        (fixed-interval, zero-readback — the serving equivalent of
+        DeviceResidentMapping's compaction schedule)."""
+        self.banks = _batched_compact()(self.banks)
 
     def _flush_warps(self) -> None:
         """Apply pending loop-closure warps for every session in one
@@ -214,12 +297,135 @@ class MultiSessionMapping:
                                 jnp.asarray(firsts))
 
     # ------------------------------------------------------------------
-    # readout
+    # elastic session management (shape change = one cached re-jit)
     # ------------------------------------------------------------------
-    def session_surfels(self, stream: int, min_updates: int = 1) -> dict:
-        s = self.sessions[stream]
+    def add_session(self) -> int:
+        """Attach a fresh session at runtime; returns its stream index."""
+        new = multistream.make_banks(self.config, 1)
+        self.banks = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), self.banks, new)
+        self._drop_accum = jnp.concatenate(
+            [self._drop_accum, jnp.zeros((1,), jnp.int32)])
+        self.sessions.append(_Session(self.config))
+        self.n_streams += 1
+        return self.n_streams - 1
+
+    def remove_session(self, stream: int) -> dict:
+        """Detach a session at runtime; returns its final map rows (the
+        same selection `session_map_surfels` exports)."""
+        rows = self.session_map_surfels(stream)
+        keep = [i for i in range(self.n_streams) if i != stream]
+        self.banks = jax.tree.map(lambda a: a[np.asarray(keep)], self.banks)
+        self._drop_accum = self._drop_accum[np.asarray(keep)]
+        del self.sessions[stream]
+        self.n_streams -= 1
+        return rows
+
+    # ------------------------------------------------------------------
+    # readout / observability (one transfer each; never on the hot path)
+    # ------------------------------------------------------------------
+    def _session_rows(self, stream: int) -> dict:
         n = int(np.asarray(self.banks.count[stream]))
-        rows = {k: np.asarray(getattr(self.banks, k)[stream])[:n]
+        return {k: np.asarray(getattr(self.banks, k)[stream])[:n]
                 for k in FIELDS}
+
+    def session_surfels(self, stream: int, min_updates: int = 1) -> dict:
+        rows = self._session_rows(stream)
         sel = rows["update_times"] >= min_updates
         return {k: v[sel] for k, v in rows.items()}
+
+    def _is_active_row(self, s: _Session, rows: dict) -> np.ndarray:
+        lu = rows["last_update"]
+        p = len(s.window)
+        ok = (lu >= 0) & (lu < p)
+        return ok & s.window[np.clip(lu, 0, p - 1)]
+
+    def session_map_surfels(self, stream: int) -> dict:
+        """Stable actives + live inactives — the save_cloud selection of the
+        solo drivers (surfel_map.cpp:1153-1174)."""
+        s = self.sessions[stream]
+        rows = self._session_rows(stream)
+        active = self._is_active_row(s, rows)
+        live = rows["update_times"] > 0
+        sel = (rows["update_times"] >= self.config.stable_update_times) \
+            & active | (live & ~active)
+        return {k: v[sel] for k, v in rows.items()}
+
+    def save_cloud(self, stream: int, path: str, binary: bool = True) -> int:
+        from ..io import export
+        return export.save_cloud_pcd(path, self.session_map_surfels(stream),
+                                     binary=binary)
+
+    def save_mesh(self, stream: int, path: str, binary: bool = False) -> int:
+        from ..io import export
+        return export.save_mesh_ply(path, self.session_map_surfels(stream),
+                                    binary=binary)
+
+    def session_metrics(self) -> List[Dict[str, float]]:
+        """Per-session observability: throughput, drop counters, bank
+        saturation (count/capacity), and surfels dropped on a full tail
+        since start (device-accumulated, exact)."""
+        counts = np.asarray(self.banks.count)
+        drops = np.asarray(self._drop_accum)
+        cap = self.config.surfel_capacity
+        out = []
+        for k, s in enumerate(self.sessions):
+            out.append({
+                "frames_fused": s.frames_fused,
+                "surfel_count": int(counts[k]),
+                "capacity": cap,
+                "saturation": float(counts[k]) / cap,
+                "surfels_dropped": int(drops[k]),
+                **{f"dropped_{kk}": v for kk, v in s.dropped.items()},
+            })
+        return out
+
+    # ------------------------------------------------------------------
+    # per-session persistence (schema-compatible with DeviceResidentMapping)
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, stream: int, path: str) -> None:
+        s = self.sessions[stream]
+        rows = self._session_rows(stream)
+        data = {f"bank_{k}": v for k, v in rows.items()}
+        data["bank_count"] = np.int64(len(rows["color"]))
+        g = s.graph
+        data["kf_cam"] = np.stack([k.cam_pose for k in g.keyframes]) \
+            if len(g) else np.zeros((0, 4, 4))
+        data["kf_loop"] = np.stack([k.loop_pose for k in g.keyframes]) \
+            if len(g) else np.zeros((0, 4, 4))
+        data["kf_stamp"] = np.array([k.stamp for k in g.keyframes])
+        edges = [(i, j) for i, k in enumerate(g.keyframes) for j in k.linked]
+        data["kf_edges"] = np.array(edges, np.int64).reshape(-1, 2)
+        data["local_indices"] = np.flatnonzero(s.window).astype(np.int64)
+        data["frames_fused"] = np.int64(s.frames_fused)
+        np.savez_compressed(path, **data)
+
+    def load_checkpoint(self, stream: int, path: str) -> None:
+        s = _Session(self.config)
+        z = np.load(path, allow_pickle=False)
+        n = int(z["bank_count"])
+        for cam, loop, stamp in zip(z["kf_cam"], z["kf_loop"], z["kf_stamp"]):
+            idx = s.graph.add_keyframe(cam, float(stamp))
+            s.graph.keyframes[idx].loop_pose = np.array(loop)
+        for i, j in z["kf_edges"]:
+            kf = s.graph.keyframes[int(i)]
+            if int(j) not in kf.linked:
+                kf.linked.append(int(j))
+        s.frames_fused = int(z["frames_fused"])
+        self.sessions[stream] = s
+        self._ensure_keyframe_capacity()
+        s.window[np.asarray(z["local_indices"], np.int64)] = True
+        s.first_local = int(z["local_indices"].min()) \
+            if len(z["local_indices"]) else 0
+        s.last_ref = len(s.graph) - 1 if len(s.graph) else 0
+        # place the rows into this stream's bank slot
+        cap = self.config.surfel_capacity
+
+        def put(a, key, fill):
+            host = np.full((cap,) + a.shape[2:], fill, np.asarray(a).dtype)
+            host[:n] = z[f"bank_{key}"]
+            return a.at[stream].set(jnp.asarray(host))
+
+        upd = {k: put(getattr(self.banks, k), k, 0) for k in FIELDS}
+        upd["count"] = self.banks.count.at[stream].set(n)
+        self.banks = self.banks.replace(**upd)

@@ -67,6 +67,135 @@ def test_flush_pads_missing_sessions():
     assert int(np.asarray(multi.banks.count[0])) > 0
 
 
+def _feed_and_step(multi, k_list, i, offsets=None):
+    for k in k_list:
+        pose = np.eye(4)
+        pose[0, 3] = 0.4 * i + (offsets[k] if offsets else 0.0)
+        img, dep = render_plane(multi.config, pose)
+        multi.feed_pose(k, float(i), pose, is_keyframe=True)
+        multi.feed_image(k, float(i), img)
+        multi.feed_depth(k, float(i), dep)
+    multi.step(flush=True)
+
+
+def test_add_remove_session_mid_run():
+    cfg = tiny_config(surfel_capacity=8192, compact_interval=1000)
+    multi = MultiSessionMapping(cfg, n_streams=2)
+    for i in range(3):
+        _feed_and_step(multi, [0, 1], i)
+    before1 = np.sort(multi.session_surfels(1)["position"], axis=0)
+
+    # runtime add: new session starts empty and fuses
+    k2 = multi.add_session()
+    assert k2 == 2 and multi.n_streams == 3
+    for i in range(3, 5):
+        _feed_and_step(multi, [0, 1, 2], i)
+    assert multi.sessions[2].frames_fused == 2
+    assert int(np.asarray(multi.banks.count[2])) > 0
+
+    # runtime remove: returns the removed map, survivors untouched
+    n0 = len(multi.session_map_surfels(0)["position"])
+    rows = multi.remove_session(0)
+    assert len(rows["position"]) == n0
+    assert multi.n_streams == 2
+    # old session 1 is now stream 0; its early surfels are intact
+    after = np.sort(multi.session_surfels(0)["position"], axis=0)
+    assert len(after) >= len(before1)
+    # and the re-batched fleet keeps stepping
+    _feed_and_step(multi, [0, 1], 5)
+    assert multi.sessions[0].frames_fused == 6
+
+
+def test_session_export_matches_solo_driver(tmp_path):
+    cfg = tiny_config(surfel_capacity=8192, compact_interval=1000)
+    multi = MultiSessionMapping(cfg, n_streams=2)
+    solo = DeviceResidentMapping(cfg)
+    for i in range(5):
+        pose = np.eye(4)
+        pose[0, 3] = 0.4 * i
+        img, dep = render_plane(cfg, pose)
+        for feed in (multi, ):
+            feed.feed_pose(0, float(i), pose, is_keyframe=True)
+            feed.feed_image(0, float(i), img)
+            feed.feed_depth(0, float(i), dep)
+        # stream 1 gets the same frames (keeps step_ready simple)
+        multi.feed_pose(1, float(i), pose, is_keyframe=True)
+        multi.feed_image(1, float(i), img)
+        multi.feed_depth(1, float(i), dep)
+        multi.step()
+        solo.feed_pose(float(i), pose, is_keyframe=True)
+        solo.feed_image(float(i), img)
+        solo.feed_depth(float(i), dep)
+
+    a = multi.session_map_surfels(0)
+    b = solo.map_surfels()
+    assert len(a["position"]) == len(b["position"])
+    np.testing.assert_allclose(np.sort(a["position"], axis=0),
+                               np.sort(b["position"], axis=0), atol=1e-5)
+    n_cloud = multi.save_cloud(0, str(tmp_path / "s0.pcd"))
+    n_mesh = multi.save_mesh(0, str(tmp_path / "s0.ply"))
+    assert n_cloud == len(a["position"]) and n_mesh > 0
+    n_solo = solo.save_cloud(str(tmp_path / "solo.pcd"))
+    assert n_cloud == n_solo
+
+
+def test_session_checkpoint_roundtrip(tmp_path):
+    cfg = tiny_config(surfel_capacity=4096, compact_interval=1000)
+    multi = MultiSessionMapping(cfg, n_streams=2)
+    for i in range(4):
+        _feed_and_step(multi, [0, 1], i, offsets=[0.0, 0.2])
+    path = str(tmp_path / "s1.npz")
+    multi.save_checkpoint(1, path)
+
+    fresh = MultiSessionMapping(cfg, n_streams=2)
+    fresh.load_checkpoint(1, path)
+    a = np.sort(fresh.session_surfels(1)["position"], axis=0)
+    b = np.sort(multi.session_surfels(1)["position"], axis=0)
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    assert fresh.sessions[1].frames_fused == 4
+    # restored session keeps fusing
+    _feed_and_step(fresh, [1], 4, offsets=[0.0, 0.2])
+    assert fresh.sessions[1].frames_fused == 5
+
+
+def test_pump_flush_timeout_and_drop_counters():
+    cfg = tiny_config(surfel_capacity=4096, compact_interval=1000)
+    multi = MultiSessionMapping(cfg, n_streams=2, flush_timeout=0.05)
+    pose = np.eye(4)
+    img, dep = render_plane(cfg, pose)
+    multi.feed_pose(0, 0.0, pose, is_keyframe=True)
+    multi.feed_image(0, 0.0, img)
+    multi.feed_depth(0, 0.0, dep)
+    # not ready (stream 1 empty) and not timed out yet -> no step
+    assert multi.pump(now=multi.sessions[0].pose_buffer[0][3] + 0.01) == 0
+    # past the timeout -> padded step fires
+    assert multi.pump(now=multi.sessions[0].pose_buffer[0][3] + 1.0) == 1
+    assert multi.sessions[0].frames_fused == 1
+
+    # stale-frame drops are counted per session
+    multi.feed_image(0, 0.5, img)           # no pose will ever match 0.5
+    multi.feed_pose(0, 1.0, pose, is_keyframe=False)
+    multi.feed_image(0, 1.0, img)
+    multi.feed_depth(0, 1.0, dep)
+    multi.step(flush=True)
+    m = multi.session_metrics()
+    assert m[0]["dropped_images"] == 1
+    assert m[0]["frames_fused"] == 2
+    assert 0.0 < m[0]["saturation"] < 1.0
+    assert m[0]["surfels_dropped"] == 0
+
+
+def test_saturation_reports_overflow_drops():
+    # capacity so small that new surfels must be dropped
+    cfg = tiny_config(surfel_capacity=64, compact_interval=2)
+    multi = MultiSessionMapping(cfg, n_streams=1)
+    for i in range(4):
+        _feed_and_step(multi, [0], i)
+    m = multi.session_metrics()[0]
+    assert m["surfels_dropped"] > 0          # overflow is visible, not silent
+    assert m["saturation"] > 0.5             # compaction reclaims some rows
+
+
 def test_multi_session_loop_warp():
     cfg = tiny_config(surfel_capacity=4096, compact_interval=1000)
     multi = MultiSessionMapping(cfg, n_streams=2)
