@@ -1,0 +1,176 @@
+"""seq-00-like loop-closure stress feed: the reference's operating regime.
+
+The real system runs thousands of KITTI frames through ORB-SLAM2, which
+publishes — every frame — the full keyframe path re-estimated so far, a
+keyframe decision + reference index, and up to 35 covisibility/spanning-tree
+edges of the newest keyframe (`ros_stereo.cc:284-319`,
+`System.cc:460-515`); mid-run a loop closure snaps the whole path, forcing
+a large map warp (`surfel_map.cpp:791-824`).
+
+This module replays that cadence synthetically and deterministically:
+
+* a closed-circuit ground-truth trajectory through a box-scattered world;
+* a drifting "SLAM estimate" (small accumulated SE3 error per frame) fed as
+  the pose stream while depth frames are rendered from ground truth —
+  exactly the estimated-pose/true-sensor split of the real pipeline;
+* continuous covisibility edges for every new keyframe plus revisit bursts,
+  hard-capped at 35 per frame like the reference bridge;
+* one large pose-graph correction when the circuit closes: the published
+  loop_path snaps every keyframe to ground truth, and the drift
+  accumulator resets (an optimizer's post-closure state).
+
+Because the corrected path IS ground truth, map fidelity versus the
+renderer's ground-truth depth directly measures loop-warp correctness.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..io.posefeed import PoseFeed, PoseMessage
+from ..io.synthetic import Box, Scene
+
+
+def circuit_trajectory(n_frames: int, radius: float = 8.0,
+                       laps: float = 1.08) -> List[np.ndarray]:
+    """Closed-circuit camera path: a circle in the x-z plane, camera +z
+    along the tangent, starting at the origin heading +z."""
+    center = np.array([radius, 0.0, 0.0])
+    poses = []
+    for i in range(n_frames):
+        theta = 2.0 * np.pi * laps * i / n_frames
+        p = center + radius * np.array([-np.cos(theta), 0.0, np.sin(theta)])
+        z_cam = np.array([np.sin(theta), 0.0, np.cos(theta)])
+        y_cam = np.array([0.0, 1.0, 0.0])
+        x_cam = np.cross(y_cam, z_cam)
+        T = np.eye(4)
+        T[:3, 0], T[:3, 1], T[:3, 2], T[:3, 3] = x_cam, y_cam, z_cam, p
+        poses.append(T)
+    return poses
+
+
+def stress_scene(radius: float = 8.0, n_boxes: int = 12,
+                 seed: int = 0) -> Scene:
+    """World for the circuit: ground plane + boxes scattered around the
+    path so every heading sees structure (no far wall — the circuit turns
+    through all headings)."""
+    rng = np.random.default_rng(seed)
+    center = np.array([radius, 0.0, 0.0])
+    boxes = []
+    for k in range(n_boxes):
+        theta = 2.0 * np.pi * k / n_boxes + rng.uniform(-0.2, 0.2)
+        r = radius + rng.uniform(2.5, 6.0) * rng.choice([-1.0, 1.0])
+        if abs(r) < radius * 0.35:       # keep the track itself clear
+            r = radius + 3.0
+        c = center + abs(r) * np.array([-np.cos(theta), 0.0, np.sin(theta)])
+        half = rng.uniform(0.5, 1.2)
+        height = rng.uniform(1.0, 2.5)
+        lo = np.array([c[0] - half, 1.5 - height, c[2] - half])
+        hi = np.array([c[0] + half, 1.5, c[2] + half])
+        boxes.append(Box(lo=lo, hi=hi))
+    return Scene(ground_y=1.5, wall_z=None, boxes=boxes, max_depth=25.0)
+
+
+def _drift_delta(yaw: float, trans: float) -> np.ndarray:
+    d = np.eye(4)
+    c, s = np.cos(yaw), np.sin(yaw)
+    d[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    d[0, 3] = trans
+    return d
+
+
+@dataclasses.dataclass
+class StressSequence:
+    feed: PoseFeed
+    gt_poses: List[np.ndarray]          # per frame, for rendering/eval
+    scene: Scene
+    loop_frame: int                     # frame index of the big correction
+    n_keyframes: int
+
+
+def make_seq00_like(n_frames: int = 2000, keyframe_every: int = 2,
+                    radius: float = 8.0, drift_yaw: float = 1.2e-3,
+                    drift_trans: float = 2.5e-3, covis_back: int = 4,
+                    revisit_radius: float = 2.0, max_edges: int = 35,
+                    apply_correction: bool = True,
+                    seed: int = 0) -> StressSequence:
+    """Build the stress sequence.  With apply_correction=False the loop
+    closure never fires (ablation: how bad is the uncorrected map?)."""
+    gt = circuit_trajectory(n_frames, radius)
+    scene = stress_scene(radius, seed=seed)
+
+    drift = np.eye(4)
+    msgs: List[PoseMessage] = []
+    kf_gt_pos: List[np.ndarray] = []    # ground-truth keyframe positions
+    kf_est: List[np.ndarray] = []       # estimated keyframe poses (as fed)
+    kf_frame: List[int] = []
+    loop_frame = -1
+    last_ref = 0
+
+    for i in range(n_frames):
+        est = drift @ gt[i]
+        iskf = (i % keyframe_every == 0)
+        edges: List[Tuple[int, int]] = []
+        loop_path: Optional[List[np.ndarray]] = None
+
+        if iskf:
+            this_kf = len(kf_gt_pos)
+            # continuous covisibility stream: newest keyframe <-> recent
+            for j in range(max(0, this_kf - covis_back), this_kf):
+                edges.append((this_kf, j))
+            # revisit burst: edges to every old keyframe within radius
+            p = gt[i][:3, 3]
+            for j, q in enumerate(kf_gt_pos):
+                if this_kf - j <= covis_back:
+                    continue
+                if np.linalg.norm(p - q) < revisit_radius:
+                    edges.append((this_kf, j))
+                    if loop_frame < 0 and i > n_frames // 2:
+                        loop_frame = i
+            edges = edges[:max_edges]
+
+            kf_gt_pos.append(gt[i][:3, 3].copy())
+            kf_est.append(est.copy())
+            kf_frame.append(i)
+            last_ref = this_kf
+
+        if apply_correction and i == loop_frame:
+            # pose-graph optimization result: every keyframe snaps to
+            # ground truth; tracking drift resets (post-closure state)
+            loop_path = [gt[f].copy() for f in kf_frame]
+            kf_est = [gt[f].copy() for f in kf_frame]
+            drift = np.eye(4)
+            est = gt[i].copy()
+            if iskf:
+                kf_est[-1] = est.copy()
+        else:
+            # ORB publishes the full current path every frame; unchanged
+            # poses cost the consumer nothing (update_loop_path no-ops)
+            loop_path = [p.copy() for p in kf_est]
+
+        msgs.append(PoseMessage(
+            stamp=float(i), pose=est, is_keyframe=iskf,
+            reference_index=last_ref, loop_path=loop_path,
+            loop_edges=edges))
+        drift = _drift_delta(drift_yaw, drift_trans) @ drift
+
+    return StressSequence(feed=PoseFeed(msgs), gt_poses=gt, scene=scene,
+                          loop_frame=loop_frame,
+                          n_keyframes=len(kf_gt_pos))
+
+
+def run_feed(mapping, seq: StressSequence, config,
+             n_frames: Optional[int] = None) -> None:
+    """Replay the sequence through a driver's feed_* API (frames rendered
+    from ground truth, poses from the drifting estimate)."""
+    msgs = seq.feed.messages[:n_frames]
+    for i, m in enumerate(msgs):
+        img, dep = seq.scene.render(config, seq.gt_poses[i])
+        mapping.feed_pose(m.stamp, m.pose, loop_path=m.loop_path,
+                          loop_edges=m.loop_edges, is_keyframe=m.is_keyframe,
+                          reference_index=m.reference_index)
+        mapping.feed_image(m.stamp, img)
+        mapping.feed_depth(m.stamp, dep)

@@ -1,0 +1,131 @@
+"""Loop-closure stress validation at reference cadence (VERDICT r1 #3).
+
+Replays a seq-00-like synthetic sequence — drifting SLAM pose estimates,
+keyframe-every-2 cadence, continuous covisibility edges with <=35/frame
+revisit bursts (ros_stereo.cc:291-319), and one large mid-run pose-graph
+correction (surfel_map.cpp:791-824) — through all three drivers and gates:
+
+* the correction measurably improves map fidelity vs ground truth;
+* host-pool, device-resident, and sharded drivers agree on the final map.
+"""
+
+import numpy as np
+import pytest
+
+from densesurfelmapping_tpu.eval import fidelity
+from densesurfelmapping_tpu.io import stressfeed
+from densesurfelmapping_tpu.pipeline.device_driver import (
+    DeviceResidentMapping, ShardedDeviceResidentMapping)
+from densesurfelmapping_tpu.pipeline.driver import SurfelMapping
+
+from test_driver import tiny_config
+
+N_FRAMES = 140
+KF_EVERY = 2
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return stressfeed.make_seq00_like(
+        n_frames=N_FRAMES, keyframe_every=KF_EVERY, radius=6.0,
+        drift_yaw=1.5e-3, drift_trans=3e-3, revisit_radius=1.5)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return tiny_config(surfel_capacity=1 << 15, drift_free_poses=3,
+                       compact_interval=16, stats_interval=4,
+                       max_keyframes=128)
+
+
+@pytest.fixture(scope="module")
+def frames(seq, cfg):
+    return [seq.scene.render(cfg, p) for p in seq.gt_poses]
+
+
+def replay(mapping, seq, frames):
+    for i, m in enumerate(seq.feed.messages):
+        img, dep = frames[i]
+        mapping.feed_pose(m.stamp, m.pose, loop_path=m.loop_path,
+                          loop_edges=m.loop_edges, is_keyframe=m.is_keyframe,
+                          reference_index=m.reference_index)
+        mapping.feed_image(m.stamp, img)
+        mapping.feed_depth(m.stamp, dep)
+    return mapping
+
+
+@pytest.fixture(scope="module")
+def runs(seq, cfg, frames):
+    host = replay(SurfelMapping(cfg), seq, frames)
+    dev = replay(DeviceResidentMapping(cfg), seq, frames)
+    return host, dev
+
+
+def eval_map(mapping, seq, frames, cfg, every=20):
+    idx = list(range(0, N_FRAMES, every))
+    return fidelity.evaluate_map(
+        mapping, [frames[i] for i in idx], [seq.gt_poses[i] for i in idx])
+
+
+def test_feed_shape(seq):
+    assert seq.loop_frame > N_FRAMES // 2
+    assert seq.n_keyframes == N_FRAMES // KF_EVERY
+    per_frame = [len(m.loop_edges) for m in seq.feed.messages]
+    assert max(per_frame) <= 35
+    # revisit bursts exist: some frame carries more than the running stream
+    assert max(per_frame) > 4
+    # the correction snaps every keyframe to ground truth
+    m = seq.feed.messages[seq.loop_frame]
+    kf_frames = [i for i in range(seq.loop_frame + 1) if i % KF_EVERY == 0]
+    for p, f in zip(m.loop_path, kf_frames):
+        np.testing.assert_allclose(p, seq.gt_poses[f], atol=1e-12)
+
+
+def test_correction_improves_fidelity(seq, cfg, frames, runs):
+    _, dev = runs
+    uncorrected_seq = stressfeed.make_seq00_like(
+        n_frames=N_FRAMES, keyframe_every=KF_EVERY, radius=6.0,
+        drift_yaw=1.5e-3, drift_trans=3e-3, revisit_radius=1.5,
+        apply_correction=False)
+    raw = replay(DeviceResidentMapping(cfg), uncorrected_seq, frames)
+
+    m_fix = eval_map(dev, seq, frames, cfg)
+    m_raw = eval_map(raw, seq, frames, cfg)
+    assert m_fix["mae"] < m_raw["mae"]
+    assert m_fix["mae"] < 0.3
+    assert m_fix["coverage"] > 0.12
+    assert not np.isnan(np.asarray(dev.bank.position)).any()
+
+
+def sorted_rows(d):
+    pos = d["position"]
+    order = np.lexsort((pos[:, 2], pos[:, 1], pos[:, 0]))
+    return {k: np.asarray(v)[order] for k, v in d.items()}
+
+
+def test_drivers_agree_after_stress(runs):
+    host, dev = runs
+    assert host.frames_fused == dev.frames_fused == N_FRAMES
+    a = sorted_rows(host.map_surfels())
+    b = sorted_rows(dev.map_surfels())
+    assert abs(len(a["position"]) - len(b["position"])) \
+        <= 0.01 * len(a["position"])
+    n = min(len(a["position"]), len(b["position"]))
+    if n == len(a["position"]) == len(b["position"]):
+        np.testing.assert_allclose(a["position"], b["position"], atol=1e-3)
+
+
+def test_sharded_driver_survives_stress(seq, cfg, frames, runs):
+    """Sharded == single-device: with the packed ingest shared between the
+    two paths every per-surfel value is computed from bit-identical inputs,
+    so the maps must agree row-for-row."""
+    import jax
+    from densesurfelmapping_tpu.parallel import sharding
+    mesh = sharding.make_mesh(len(jax.devices()), data=1)
+    sh = replay(ShardedDeviceResidentMapping(cfg, mesh), seq, frames)
+    _, dev = runs
+    a = sorted_rows(sh.map_surfels())
+    b = sorted_rows(dev.map_surfels())
+    assert len(a["position"]) == len(b["position"])
+    np.testing.assert_allclose(a["position"], b["position"], atol=1e-4)
+    np.testing.assert_allclose(a["normal"], b["normal"], atol=1e-4)
