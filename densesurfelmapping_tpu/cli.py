@@ -107,6 +107,35 @@ def _save_debug_render(mapping, cfg, args, frame):
     print(f"segmentation render -> {args.out}_seg.png")
 
 
+def _publish(mapping, cfg, args, frame_index: int) -> None:
+    """Streaming map export every --publish-every fused frames: a rolling
+    <out>_live.pcd + camera markers (the rviz-topic cadence of
+    `surfel_map.cpp:188-198`) plus a numbered time-series snapshot.
+
+    Publishing forces one device->host bank transfer per period; the
+    reference publishes at 5 Hz continuously, so an N matched to the input
+    rate reproduces its behavior.  Leave the flag off for maximum-rate
+    mapping (readbacks drop the async dispatch fast path; CLAUDE.md)."""
+    from . import viz
+
+    n = mapping.save_cloud(f"{args.out}_live.pcd")
+    mapping.save_cloud(f"{args.out}_f{frame_index:06d}.pcd")
+    poses = [k.loop_pose for k in mapping.graph.keyframes]
+    edges = [(i, j) for i, k in enumerate(mapping.graph.keyframes)
+             for j in k.linked if j > i]
+    viz.save_camera_markers(f"{args.out}_live_cameras.ply", poses,
+                            cfg.camera, scale=1.0, loop_edges=edges)
+    print(f"published frame {frame_index}: {n} points -> "
+          f"{args.out}_live.pcd (+_f{frame_index:06d}.pcd, _live_cameras.ply)")
+
+
+def _maybe_publish(mapping, cfg, args, i) -> None:
+    every = getattr(args, "publish_every", 0)
+    if every and args.out and mapping.frames_fused > 0 \
+            and mapping.frames_fused % every == 0:
+        _publish(mapping, cfg, args, i)
+
+
 def _throttle(rate_hz, t_last):
     if rate_hz <= 0:
         return time.perf_counter()
@@ -142,6 +171,7 @@ def cmd_synthetic(args):
             last = (img, dep)
             if args.eval and i % max(args.frames // 8, 1) == 0:
                 eval_set.append(((img, dep), pose))
+            _maybe_publish(mapping, cfg, args, i)
             t_last = _throttle(args.rate, t_last)
     except KeyboardInterrupt:
         print("interrupted - saving map (reference shutdown-save semantics)")
@@ -201,6 +231,7 @@ def cmd_kitti(args):
             mapping.feed_depth(fr.stamp, depth)
             last = (fr.image, depth)
             n += 1
+            _maybe_publish(mapping, cfg, args, fr.index)
             t_last = _throttle(args.rate, t_last)
     except KeyboardInterrupt:
         print("interrupted - saving map (reference shutdown-save semantics)")
@@ -255,6 +286,61 @@ def cmd_multi(args):
     return 0
 
 
+def cmd_stress(args):
+    """seq-00-scale loop-closure stress run: thousands of frames at the
+    reference's cadence (drifting pose estimates, keyframe-every-N, <=35
+    loop-edge bursts, one large mid-run pose-graph correction); reports map
+    fidelity right before and right after the correction (io/stressfeed)."""
+    import json
+    from .eval import evaluate_map
+    from .io import stressfeed
+
+    mapping, cfg = _build_mapping(args)
+    seq = stressfeed.make_seq00_like(
+        n_frames=args.frames, keyframe_every=args.kf_every,
+        radius=args.radius,
+        # length-normalized drift: ~0.25 rad + 0.5 m total at loop closure
+        drift_yaw=0.25 / args.frames, drift_trans=0.5 / args.frames,
+        revisit_radius=max(0.03 * args.radius, 1.5))
+    print(f"stress feed: {args.frames} frames, {seq.n_keyframes} keyframes, "
+          f"correction at frame {seq.loop_frame}")
+    eval_idx = list(range(0, args.frames, max(args.frames // 10, 1)))
+    eval_set = {}
+    pre = None
+    last = None
+    t0 = time.perf_counter()
+    fuse_s = 0.0
+    for i, m in enumerate(seq.feed.messages):
+        img, dep = seq.scene.render(cfg, seq.gt_poses[i])
+        if i == seq.loop_frame:       # snapshot fidelity before the warp
+            pre = evaluate_map(mapping, list(eval_set.values())[:5],
+                               [seq.gt_poses[j]
+                                for j in list(eval_set)[:5]])
+        tf = time.perf_counter()
+        mapping.feed_pose(m.stamp, m.pose, loop_path=m.loop_path,
+                          loop_edges=m.loop_edges,
+                          is_keyframe=m.is_keyframe,
+                          reference_index=m.reference_index)
+        mapping.feed_image(m.stamp, img)
+        mapping.feed_depth(m.stamp, dep)
+        fuse_s += time.perf_counter() - tf
+        if i in eval_idx:
+            eval_set[i] = (img, dep)
+        last = (img, dep)
+        _maybe_publish(mapping, cfg, args, i)
+    dt = time.perf_counter() - t0
+    post = evaluate_map(mapping, list(eval_set.values()),
+                        [seq.gt_poses[j] for j in eval_set])
+    print(f"{args.frames} frames in {dt:.1f}s "
+          f"({args.frames / dt:.1f} fps incl. host render; "
+          f"feed+fuse only: {args.frames / max(fuse_s, 1e-9):.1f} fps)")
+    rnd = lambda d: {k: round(v, 4) for k, v in d.items()}  # noqa: E731
+    print("fidelity pre-correction: ", json.dumps(rnd(pre or {})))
+    print("fidelity post-correction:", json.dumps(rnd(post)))
+    _finish(mapping, cfg, args, last)
+    return 0
+
+
 def cmd_tum(args):
     """TUM RGB-D sequence with the RGBD fusion profile."""
     from .io.tum import TumSequence
@@ -275,6 +361,7 @@ def cmd_tum(args):
         mapping.feed_depth(fr.stamp, fr.depth)
         last = (fr.image, fr.depth)
         n += 1
+        _maybe_publish(mapping, cfg, args, n)
         t_last = _throttle(args.rate, t_last)
     if skipped:
         print(f"skipped {skipped} frames without ground-truth pose")
@@ -352,6 +439,12 @@ def main(argv=None):
         p.add_argument("--trace", default="",
                        help="write a jax.profiler trace of the run to this "
                             "directory (view in xprof/TensorBoard)")
+        p.add_argument("--publish-every", type=int, default=0,
+                       help="streaming export: write <out>_live.pcd + camera"
+                            " markers + a numbered snapshot every N fused "
+                            "frames (the reference's rviz publish cadence, "
+                            "surfel_map.cpp:188-198); costs one device->host"
+                            " transfer per period")
 
     p = sub.add_parser("synthetic", help="procedural scene demo/benchmark")
     common(p)
@@ -389,6 +482,14 @@ def main(argv=None):
     p.add_argument("--streams", type=int, default=4)
     p.add_argument("--frames", type=int, default=50)
     p.set_defaults(fn=cmd_multi)
+
+    p = sub.add_parser("stress", help="seq-00-scale loop-closure stress run "
+                                      "(drift, edge bursts, mid-run warp)")
+    common(p)
+    p.add_argument("--frames", type=int, default=2000)
+    p.add_argument("--radius", type=float, default=60.0,
+                   help="circuit radius in meters (60 ~ a KITTI block)")
+    p.set_defaults(fn=cmd_stress, kf_every=2)
 
     p = sub.add_parser("tum", help="TUM RGB-D sequence (rgbd profile)")
     common(p)

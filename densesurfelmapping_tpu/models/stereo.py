@@ -43,6 +43,13 @@ class StereoConfig(NamedTuple):
     # SGM smoothness penalties (per-px cost units; classic P1 << P2)
     sgm_p1: float = 1.0
     sgm_p2: float = 8.0
+    sgm_paths: int = 8            # 4 (h/v) or 8 (+ diagonals)
+    # matching cost for the SGM volume: "sad" (box-aggregated abs diff) or
+    # "census" (Hamming distance of 5x5 census transforms — radiometrically
+    # robust, integer costs <= 24, the production SGM standard)
+    cost: str = "census"
+    census_radius: int = 2        # 5x5 -> 24 neighbor bits
+    census_ceiling: float = 16.0  # per-path census cost gate (0..24)
 
 
 def _box_filter(x: jnp.ndarray, r: int) -> jnp.ndarray:
@@ -79,61 +86,118 @@ def _shift_left(img: jnp.ndarray, d: int, fill: float) -> jnp.ndarray:
 _SGM_BIG = 1e4   # finite out-of-range cost (SGM adds bounded penalties)
 
 
+def _census(img: jnp.ndarray, r: int) -> jnp.ndarray:
+    """(H, W) uint32 census transform: bit k set iff neighbor k < center
+    over the (2r+1)^2-1 neighborhood (r=2 -> 24 bits)."""
+    h, w = img.shape
+    p = jnp.pad(img, r, mode="edge")
+    out = jnp.zeros((h, w), jnp.uint32)
+    bit = 0
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            if dy == 0 and dx == 0:
+                continue
+            nb = p[r + dy:r + dy + h, r + dx:r + dx + w]
+            out = out | ((nb < img).astype(jnp.uint32) << np.uint32(bit))
+            bit += 1
+    return out
+
+
 def _cost_volume(left: jnp.ndarray, right: jnp.ndarray,
                  cfg: StereoConfig) -> jnp.ndarray:
-    """(D', H, W) f32 box-aggregated SAD costs, D' = max - min disparity."""
+    """(D', H, W) matching-cost volume, D' = max - min disparity.
+
+    cost="sad": box-aggregated absolute intensity difference (f32 planes).
+    cost="census": per-pixel Hamming distance of census transforms via
+    `lax.population_count` — integer costs <= 24, no box filter needed
+    (SGM's smoothness term does the spatial aggregation).  Stored bf16:
+    census costs are small integers, exactly representable, at half the
+    HBM traffic of f32 (the volume is the memory-bound object here).
+    """
     h, w = left.shape
     xcoord = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     costs = []
+    if cfg.cost == "census":
+        cl = _census(left, cfg.census_radius)
+        cr = _census(right, cfg.census_radius)
+        for d in range(cfg.min_disparity, cfg.max_disparity):
+            crd = _shift_right(cr, d)
+            c = jax.lax.population_count(cl ^ crd).astype(jnp.bfloat16)
+            costs.append(jnp.where(xcoord >= d, c,
+                                   jnp.bfloat16(_SGM_BIG)))
+        return jnp.stack(costs)
     for d in range(cfg.min_disparity, cfg.max_disparity):
         ad = jnp.abs(left - _shift_right(right, d))
         c = _box_filter(ad, cfg.radius)
-        costs.append(jnp.where(xcoord >= d, c, _SGM_BIG))
+        costs.append(jnp.where(xcoord >= d, c, _SGM_BIG).astype(jnp.bfloat16))
     return jnp.stack(costs)
 
 
-def _sgm_step(p1: float, p2: float):
-    def step(L_prev, c):
-        """One scanline-DP step: L_prev, c are (rows, D)."""
-        Lmin = jnp.min(L_prev, axis=-1, keepdims=True)
-        dm = jnp.pad(L_prev, ((0, 0), (1, 0)),
-                     constant_values=np.inf)[:, :-1]   # from d-1
-        dp = jnp.pad(L_prev, ((0, 0), (0, 1)),
-                     constant_values=np.inf)[:, 1:]    # from d+1
-        cand = jnp.minimum(jnp.minimum(L_prev, jnp.minimum(dm, dp) + p1),
-                           Lmin + p2)
-        L = c + cand - Lmin
-        return L, L
-    return step
+def _sgm_dp(L_prev: jnp.ndarray, c: jnp.ndarray, p1: float,
+            p2: float) -> jnp.ndarray:
+    """One scanline-DP update: L_prev, c are (rows, D) f32."""
+    Lmin = jnp.min(L_prev, axis=-1, keepdims=True)
+    dm = jnp.pad(L_prev, ((0, 0), (1, 0)),
+                 constant_values=np.inf)[:, :-1]   # from d-1
+    dp = jnp.pad(L_prev, ((0, 0), (0, 1)),
+                 constant_values=np.inf)[:, 1:]    # from d+1
+    cand = jnp.minimum(jnp.minimum(L_prev, jnp.minimum(dm, dp) + p1),
+                       Lmin + p2)
+    return c + cand - Lmin
 
 
-def _sgm_aggregate(vol: jnp.ndarray, p1: float, p2: float) -> jnp.ndarray:
-    """4-path semi-global aggregation (left/right/up/down) of a (D, H, W)
-    cost volume via lax.scan scanline DP.  The zero init makes the first
-    column of every pass reduce to L = C exactly."""
-    step = _sgm_step(p1, p2)
+def _sgm_aggregate(vol: jnp.ndarray, p1: float, p2: float,
+                   n_paths: int) -> jnp.ndarray:
+    """4- or 8-path semi-global aggregation of a (D, H, W) cost volume via
+    lax.scan scanline DP; returns the f32 summed volume.
+
+    The zero carry init makes the first pixel of every path reduce to
+    L = C exactly.  Diagonal paths ride the vertical scans with the carry
+    rolled one pixel along x per row (the wrapped column is zeroed so
+    border pixels restart at L = C).  Per-path outputs are emitted bf16 —
+    census/SAD costs are small, and the 4-8 materialized (D,H,W) volumes
+    are the HBM-bound part of SGM."""
+    assert n_paths in (4, 8), n_paths
+
+    def scan_dir(v, reverse, roll=0):
+        def step(L_prev, c):
+            if roll:
+                L_prev = jnp.roll(L_prev, roll, axis=0)
+                L_prev = L_prev.at[0 if roll > 0 else -1].set(0.0)
+            L = _sgm_dp(L_prev, c.astype(jnp.float32), p1, p2)
+            return L, L.astype(jnp.bfloat16)
+
+        zeros = jnp.zeros(v.shape[1:], jnp.float32)
+        _, ys = jax.lax.scan(step, zeros, v, reverse=reverse)
+        return ys
 
     vh = jnp.transpose(vol, (2, 1, 0))          # (W, H, D): scan over x
-    zeros_h = jnp.zeros_like(vh[0])
-    _, l2r = jax.lax.scan(step, zeros_h, vh)
-    _, r2l = jax.lax.scan(step, zeros_h, vh, reverse=True)
-    agg = jnp.transpose(l2r + r2l, (2, 1, 0))
+    agg = jnp.transpose(
+        scan_dir(vh, False).astype(jnp.float32)
+        + scan_dir(vh, True).astype(jnp.float32), (2, 1, 0))
 
     vv = jnp.transpose(vol, (1, 2, 0))          # (H, W, D): scan over y
-    zeros_v = jnp.zeros_like(vv[0])
-    _, t2b = jax.lax.scan(step, zeros_v, vv)
-    _, b2t = jax.lax.scan(step, zeros_v, vv, reverse=True)
-    return agg + jnp.transpose(t2b + b2t, (2, 0, 1))
+    v_sum = scan_dir(vv, False).astype(jnp.float32) \
+        + scan_dir(vv, True).astype(jnp.float32)
+    if n_paths == 8:
+        # (1,1)/( -1,1): previous pixel one column left -> roll +1;
+        # (1,-1)/(-1,-1): one column right -> roll -1
+        v_sum = v_sum \
+            + scan_dir(vv, False, roll=1).astype(jnp.float32) \
+            + scan_dir(vv, True, roll=1).astype(jnp.float32) \
+            + scan_dir(vv, False, roll=-1).astype(jnp.float32) \
+            + scan_dir(vv, True, roll=-1).astype(jnp.float32)
+    return agg + jnp.transpose(v_sum, (2, 0, 1))
 
 
 def _disparity_sgm(left: jnp.ndarray, right: jnp.ndarray,
                    cfg: StereoConfig) -> jnp.ndarray:
-    """Semi-global-matching disparity: 4-path aggregation then WTA with
+    """Semi-global-matching disparity: 4/8-path aggregation then WTA with
     the same sub-pixel / LR-consistency / texture gates as the box path."""
     h, w = left.shape
-    n_paths = 4.0
+    n_paths = float(cfg.sgm_paths)
     vol = _cost_volume(left, right, cfg)
-    agg = _sgm_aggregate(vol, cfg.sgm_p1, cfg.sgm_p2)
+    agg = _sgm_aggregate(vol, cfg.sgm_p1, cfg.sgm_p2, cfg.sgm_paths)
     D = agg.shape[0]
 
     idx = jnp.argmin(agg, axis=0)                       # (H, W)
@@ -151,24 +215,21 @@ def _disparity_sgm(left: jnp.ndarray, right: jnp.ndarray,
                           0.5 * (cm - cp) / jnp.maximum(denom, 1e-9), 0.0)
         disp = disp + jnp.clip(delta, -0.5, 0.5)
 
-    # right-image WTA from the aggregated volume (shift identity) and the
-    # gather-free LR lookup, as in the box path
-    bestR = jnp.full((h, w), np.inf)
-    bestR_d = jnp.zeros((h, w), jnp.int32)
-    for k in range(D):
-        d = k + cfg.min_disparity
-        cR = _shift_left(agg[k], d, np.inf)
-        takeR = cR < bestR
-        bestR = jnp.where(takeR, cR, bestR)
-        bestR_d = jnp.where(takeR, d, bestR_d)
+    # right-image WTA via the volume identity costR(y,x,d) = costL(y,x+d,d):
+    # one gather along x builds the right volume (bf16 — it only feeds an
+    # argmin), replacing a D-step unrolled shift chain
+    ds = jnp.arange(cfg.min_disparity, cfg.max_disparity)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2) + ds[:, None, None]
+    volR = jnp.take_along_axis(agg.astype(jnp.bfloat16),
+                               jnp.clip(xs, 0, w - 1), axis=2)
+    volR = jnp.where(xs < w, volR, jnp.bfloat16(np.inf))
+    bestR_d = jnp.argmin(volR, axis=0).astype(jnp.int32) + cfg.min_disparity
+
+    # LR lookup: dR at (x - dL) should equal dL — one gather along x
     dL = idx + cfg.min_disparity
-    dR_at = jnp.zeros((h, w), jnp.float32)
-    for k in range(D):
-        d = k + cfg.min_disparity
-        dR_at = jnp.where(dL == d,
-                          _shift_right(bestR_d.astype(jnp.float32), d),
-                          dR_at)
-    consistent = jnp.abs(dR_at - dL.astype(jnp.float32)) <= cfg.lr_threshold
+    xl = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) - dL
+    dR_at = jnp.take_along_axis(bestR_d, jnp.clip(xl, 0, w - 1), axis=1)
+    consistent = (xl >= 0) & (jnp.abs(dR_at - dL) <= cfg.lr_threshold)
 
     # SGM exists to propagate through weak texture, so the WTA texture
     # gate is scaled way down — only truly constant regions are rejected
@@ -177,7 +238,9 @@ def _disparity_sgm(left: jnp.ndarray, right: jnp.ndarray,
     textured = _box_filter(grad, cfg.radius) >= 0.1 * cfg.texture_threshold
 
     # per-path bounded: aggregated best <= n_paths * (C + p2)
-    ceiling = n_paths * (cfg.cost_ceiling + cfg.sgm_p2)
+    per_path = (cfg.census_ceiling if cfg.cost == "census"
+                else cfg.cost_ceiling)
+    ceiling = n_paths * (per_path + cfg.sgm_p2)
     valid = consistent & textured & (best <= ceiling) & (best < _SGM_BIG)
     return jnp.where(valid, disp, 0.0)
 

@@ -124,6 +124,45 @@ def test_sgm_denser_on_weak_texture():
     assert ok_sgm.mean() > 0.2
 
 
+def test_census_8path_sgm(stereo_pair):
+    """Production SGM config (census cost, 8 paths): accuracy and density
+    at least match the 4-path SAD variant on the textured scene."""
+    cfg, left, true_depth, right = stereo_pair
+    base = stereo.StereoConfig(max_disparity=64, min_disparity=1, radius=3,
+                               aggregation="sgm")
+    sad4 = base._replace(cost="sad", sgm_paths=4)
+    cen8 = base._replace(cost="census", sgm_paths=8)
+    d_sad = np.asarray(stereo.jitted_disparity(sad4)(
+        jnp.asarray(left), jnp.asarray(right)))
+    d_cen = np.asarray(stereo.jitted_disparity(cen8)(
+        jnp.asarray(left), jnp.asarray(right)))
+
+    true_disp = np.where(true_depth > 0,
+                         CAM.fx * BASELINE / np.maximum(true_depth, 1e-6), 0.)
+    in_range = (true_disp >= 2.0) & (true_disp < 63.0)
+
+    def stats(d):
+        valid = (d > 0) & in_range
+        err = np.abs(d[valid] - true_disp[valid])
+        return valid.mean(), np.median(err), (err < 1.5).mean()
+
+    v_s, med_s, in_s = stats(d_sad)
+    v_c, med_c, in_c = stats(d_cen)
+    assert med_c < 0.5, f"census median err {med_c}"
+    assert v_c >= 0.9 * v_s, (v_c, v_s)
+    assert in_c >= in_s - 0.05
+
+
+def test_census_transform_is_radiometric_invariant():
+    """Census depends only on intensity ORDER: gain/bias changes leave the
+    transform untouched (the property SAD lacks)."""
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (20, 30)).astype(np.float32)
+    a = np.asarray(stereo._census(jnp.asarray(img), 2))
+    b = np.asarray(stereo._census(jnp.asarray(img * 1.7 + 11.0), 2))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_sgm_rejects_constant_image():
     h, w = 40, 96
     flat = jnp.full((h, w), 80.0)
