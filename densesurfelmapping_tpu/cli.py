@@ -275,14 +275,15 @@ def cmd_multi(args):
     total = args.frames * B
     print(f"{total} frames across {B} sessions in {dt:.2f}s "
           f"({total / dt:.1f} frames/s aggregate incl. host render)")
-    for k in range(B):
-        s = multi.session_surfels(k)
-        print(f"session {k}: {len(s['position'])} surfels")
+    for k, m in enumerate(multi.session_metrics()):
+        print(f"session {k}: {m['surfel_count']} surfels, "
+              f"saturation {m['saturation']:.1%}, "
+              f"dropped {m['surfels_dropped']}")
         if args.out:
-            from .io import export
-            export.save_cloud_pcd(f"{args.out}_s{k}.pcd", s)
+            multi.save_cloud(k, f"{args.out}_s{k}.pcd")
+            multi.save_checkpoint(k, f"{args.out}_s{k}.ckpt.npz")
     if args.out:
-        print(f"saved per-session clouds -> {args.out}_s*.pcd")
+        print(f"saved per-session clouds + checkpoints -> {args.out}_s*")
     return 0
 
 

@@ -1,0 +1,114 @@
+"""H2D pipelining A/B (VERDICT r1 #8): the fuse step is upload-latency
+bound (BASELINE.md ablation), so the remaining single-stream levers are all
+in how frames reach the device.  Three strategies, measured in ONE process
+(the relay varies 3-10x across processes — only within-process comparisons
+are meaningful, CLAUDE.md):
+
+  A  baseline     — per-frame jnp.asarray(packed_buf) right before the step
+                    (what bench.py does today);
+  B  prefetch     — jax.device_put of frame i+1 issued immediately after
+                    dispatching step i, so the next upload overlaps the
+                    current step's execution;
+  C  chunked-K    — K frames ride in ONE (K, 3HW) upload; the step indexes
+                    its frame with lax.dynamic_index_in_dim on device,
+                    amortizing per-transfer latency over K dispatches.
+
+Usage: python experiments/h2d_ab.py [n_frames] — prints one line per
+strategy; record the winner in BASELINE.md.
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def main(n_frames: int = 200, warmup: int = 5):
+    import jax
+    import jax.numpy as jnp
+    import functools
+    import densesurfelmapping_tpu as dsm
+    from densesurfelmapping_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from densesurfelmapping_tpu.core.state import SurfelBank, pack_frame
+    from densesurfelmapping_tpu.pipeline.fuse_step import (
+        fuse_frame_packed, jitted_fuse_frame_packed)
+    from densesurfelmapping_tpu.io import synthetic
+
+    cfg = dsm.kitti_config(surfel_capacity=1 << 19)
+    scene = synthetic.default_scene()
+    poses = synthetic.forward_trajectory(n_frames + warmup, step=0.4)
+    rendered = [(pack_frame(cfg, *scene.render(cfg, p)),
+                 p.astype(np.float32)) for p in poses]
+
+    step = jitted_fuse_frame_packed(cfg)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step_chunk(bank, bufs, ps, k, i0):
+        buf = jax.lax.dynamic_index_in_dim(bufs, k, 0, keepdims=False)
+        pose = jax.lax.dynamic_index_in_dim(ps, k, 0, keepdims=False)
+        return fuse_frame_packed(cfg, bank, buf, pose, i0 + k)
+
+    def timed(name, body):
+        bank = SurfelBank.empty(cfg.surfel_capacity)
+        bank = body(bank, 0, warmup)                 # warmup/compile
+        jax.block_until_ready(bank.count)
+        t0 = time.perf_counter()
+        bank = body(bank, warmup, n_frames)
+        jax.block_until_ready(bank.count)
+        dt = time.perf_counter() - t0
+        print(f"{name:12s} {n_frames / dt:8.1f} fps "
+              f"({1e3 * dt / n_frames:.3f} ms/frame), "
+              f"map {int(bank.count)}")
+        return n_frames / dt
+
+    def run_a(bank, start, n):
+        for i in range(start, start + n):
+            buf, pose = rendered[i]
+            bank, _ = step(bank, jnp.asarray(buf), jnp.asarray(pose),
+                           jnp.int32(i))
+        return bank
+
+    def run_b(bank, start, n):
+        nxt = jax.device_put(rendered[start][0])
+        for i in range(start, start + n):
+            buf = nxt
+            if i + 1 < len(rendered):
+                nxt = jax.device_put(rendered[i + 1][0])  # overlaps step i
+            bank, _ = step(bank, buf, jnp.asarray(rendered[i][1]),
+                           jnp.int32(i))
+        return bank
+
+    def make_run_c(K):
+        def run_c(bank, start, n):
+            for c0 in range(start, start + n, K):
+                k_n = min(K, start + n - c0)
+                bufs = jnp.asarray(
+                    np.stack([rendered[c0 + k][0] for k in range(k_n)] +
+                             [rendered[c0][0]] * (K - k_n)))
+                ps = jnp.asarray(
+                    np.stack([rendered[c0 + k][1] for k in range(k_n)] +
+                             [rendered[c0][1]] * (K - k_n)))
+                for k in range(k_n):
+                    bank, _ = step_chunk(bank, bufs, ps, jnp.int32(k),
+                                         jnp.int32(c0))
+            return bank
+        return run_c
+
+    results = {}
+    results["A baseline"] = timed("A baseline", run_a)
+    results["B prefetch"] = timed("B prefetch", run_b)
+    for K in (4, 8):
+        results[f"C chunk-{K}"] = timed(f"C chunk-{K}", make_run_c(K))
+    # second pass in reverse order to control for relay drift in-process
+    print("-- second pass (reverse order) --")
+    for K in (8, 4):
+        timed(f"C chunk-{K}", make_run_c(K))
+    timed("B prefetch", run_b)
+    timed("A baseline", run_a)
+    best = max(results, key=results.get)
+    print(f"winner (first pass): {best}")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 200)
