@@ -163,6 +163,74 @@ def test_census_transform_is_radiometric_invariant():
     np.testing.assert_array_equal(a, b)
 
 
+def _sgm_path_oracle(vol, dy, dx, p1, p2):
+    """Scalar float64 single-direction SGM path sum L for direction
+    (dy, dx) over a (D, H, W) volume — the textbook recurrence."""
+    v = vol.astype(np.float64)
+    D, H, W = v.shape
+    L = np.zeros_like(v)
+    ys = range(H) if dy >= 0 else range(H - 1, -1, -1)
+    xs = range(W) if dx >= 0 else range(W - 1, -1, -1)
+    for y in ys:
+        for x in xs:
+            py, px = y - dy, x - dx
+            if 0 <= py < H and 0 <= px < W:
+                Lp = L[:, py, px]
+                Lmin = Lp.min()
+                cand = np.minimum(Lp, Lmin + p2)
+                cand[1:] = np.minimum(cand[1:], Lp[:-1] + p1)
+                cand[:-1] = np.minimum(cand[:-1], Lp[1:] + p1)
+                L[:, y, x] = v[:, y, x] + cand - Lmin
+            else:
+                L[:, y, x] = v[:, y, x]
+    return L
+
+
+def test_sgm_axis_scan_matches_oracle():
+    """_axis_scan (batched-direction scans, reverse=True for the backward
+    orientation) must equal the per-direction scalar oracle exactly in
+    f32 for every axis/roll combination, including through a masked-BIG
+    left wedge like the real volume's x < d region.
+
+    Regression context: an earlier formulation fed v[::-1] as a second
+    scan input sequence, which XLA:TPU miscompiled at KITTI size
+    (backward channel corrupted at x >= W - d).  The reverse=True
+    formulation is exact on both backends."""
+    rng = np.random.RandomState(3)
+    H, W, D = 10, 40, 8
+    vol = rng.randint(0, 25, size=(D, H, W)).astype(np.float32)
+    wedge = np.broadcast_to(
+        np.arange(W)[None, None, :] < (np.arange(D) + 1)[:, None, None],
+        (D, H, W))
+    vol = np.where(wedge, 1e4, vol)
+    p1, p2 = 1.0, 8.0
+    volj = jnp.asarray(vol)          # f32 so the oracle comparison is exact
+
+    def check(got, want):
+        # exact where costs are small integers (bf16-representable);
+        # inside the BIG wedge the bf16 path outputs round (~1e4 scale),
+        # which is harmless — those entries are >> the validity ceiling
+        np.testing.assert_array_equal(got[~wedge], want[~wedge])
+        np.testing.assert_allclose(got[wedge], want[wedge], rtol=2e-2)
+
+    vh = jnp.transpose(volj, (2, 1, 0))      # (W, H, D): scan over x
+    got = np.transpose(
+        np.asarray(stereo._axis_scan(vh, (0,), p1, p2), np.float32),
+        (2, 1, 0))
+    want = (_sgm_path_oracle(vol, 0, 1, p1, p2)
+            + _sgm_path_oracle(vol, 0, -1, p1, p2))
+    check(got, want)
+
+    vv = jnp.transpose(volj, (1, 2, 0))      # (H, W, D): scan over y
+    got = np.transpose(
+        np.asarray(stereo._axis_scan(vv, (0, 1, -1), p1, p2), np.float32),
+        (2, 0, 1))
+    want = sum(_sgm_path_oracle(vol, dy, dx, p1, p2)
+               for dy, dx in [(1, 0), (-1, 0), (1, 1), (-1, 1),
+                              (1, -1), (-1, -1)])
+    check(got, want)
+
+
 def test_sgm_rejects_constant_image():
     h, w = 40, 96
     flat = jnp.full((h, w), 80.0)
