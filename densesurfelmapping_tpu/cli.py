@@ -156,6 +156,13 @@ def cmd_synthetic(args):
         poses = synthetic.loop_trajectory(args.frames, radius=10.0)
     else:
         poses = synthetic.forward_trajectory(args.frames, step=0.4)
+    if getattr(args, "stereo", False):
+        from .models.stereo import StereoConfig
+        mapping.enable_stereo(
+            bf=cfg.camera.fx * args.baseline,
+            stereo_config=StereoConfig(
+                max_disparity=args.max_disparity,
+                aggregation="sgm" if args.sgm else "box"))
     t_last = 0.0
     last = None
     eval_set = []
@@ -166,8 +173,15 @@ def cmd_synthetic(args):
             stamp = i / max(args.rate, 1e-9) if args.rate > 0 else float(i)
             mapping.feed_pose(stamp, pose,
                               is_keyframe=(i % args.kf_every == 0))
-            mapping.feed_image(stamp, img)
-            mapping.feed_depth(stamp, dep)
+            if getattr(args, "stereo", False):
+                # right camera: +baseline along the camera x axis
+                rp = np.array(pose, np.float64).copy()
+                rp[:3, 3] += rp[:3, 0] * args.baseline
+                rimg, _ = scene.render(cfg, rp)
+                mapping.feed_stereo(stamp, img, rimg)
+            else:
+                mapping.feed_image(stamp, img)
+                mapping.feed_depth(stamp, dep)
             last = (img, dep)
             if args.eval and i % max(args.frames // 8, 1) == 0:
                 eval_set.append(((img, dep), pose))
@@ -200,36 +214,30 @@ def cmd_kitti(args):
         print("error: no pose source (expected --poses or <root>/poses.txt)",
               file=sys.stderr)
         return 1
-    depth_fn = None
     if args.stereo:
-        import jax.numpy as jnp
-        from .models import stereo as stereo_model
-        from .ops import depthfilter
-        scfg = stereo_model.StereoConfig(
-            max_disparity=args.max_disparity,
-            aggregation="sgm" if args.sgm else "box")
-
-        def depth_fn(fr):
-            # matcher needs signed arithmetic: feed f32 intensities
-            d = stereo_model.depth_from_stereo(
-                jnp.asarray(np.asarray(fr.image, np.float32)),
-                jnp.asarray(np.asarray(fr.right_image, np.float32)),
-                bf=seq.bf, config=scfg, max_depth=cfg.fuse_far)
-            if not args.no_depth_filter:
-                d = depthfilter.clean_depth(d)
-            return np.asarray(d)
+        # depth is computed INSIDE the fuse program (no per-frame
+        # readback; see fuse_step.fuse_frame_stereo_packed)
+        from .models.stereo import StereoConfig
+        mapping.enable_stereo(
+            bf=seq.bf,
+            stereo_config=StereoConfig(
+                max_disparity=args.max_disparity,
+                aggregation="sgm" if args.sgm else "box"),
+            filter_depth=not args.no_depth_filter)
     t_last = 0.0
     last = None
     n = 0
     t0 = time.perf_counter()
     try:
         for fr in seq:
-            depth = depth_fn(fr) if depth_fn else fr.depth
             mapping.feed_pose(fr.stamp, fr.pose,
                               is_keyframe=(fr.index % args.kf_every == 0))
-            mapping.feed_image(fr.stamp, fr.image)
-            mapping.feed_depth(fr.stamp, depth)
-            last = (fr.image, depth)
+            if args.stereo:
+                mapping.feed_stereo(fr.stamp, fr.image, fr.right_image)
+            else:
+                mapping.feed_image(fr.stamp, fr.image)
+                mapping.feed_depth(fr.stamp, fr.depth)
+                last = (fr.image, fr.depth)
             n += 1
             _maybe_publish(mapping, cfg, args, fr.index)
             t_last = _throttle(args.rate, t_last)
@@ -455,6 +463,16 @@ def main(argv=None):
     p.add_argument("--eval", action="store_true",
                    help="score the final map against ground-truth depth "
                         "(rendered-map coverage/MAE/inliers)")
+    p.add_argument("--stereo", action="store_true",
+                   help="render a right view and compute depth on-device "
+                        "inside the fuse program (stereo-resident demo); "
+                        "--eval then scores the stereo pipeline against "
+                        "the ground-truth depth")
+    p.add_argument("--baseline", type=float, default=0.54,
+                   help="stereo baseline in m for --stereo (KITTI: 0.54)")
+    p.add_argument("--sgm", action="store_true",
+                   help="semi-global aggregation for --stereo")
+    p.add_argument("--max-disparity", type=int, default=128)
     p.set_defaults(fn=cmd_synthetic)
 
     p = sub.add_parser("kitti", help="KITTI odometry sequence replay")

@@ -184,6 +184,25 @@ def pack_frame(config: SurfelMapConfig, image: np.ndarray,
                            cd.reshape(-1).view(np.uint8)])
 
 
+def pack_stereo_pair(config: SurfelMapConfig, left: np.ndarray,
+                     right: np.ndarray) -> np.ndarray:
+    """One-buffer stereo-pair encoding: left u8 bytes then right u8 bytes,
+    a single (2*H*W,) u8 array — 2/3 the H2D bytes of `pack_frame` (no
+    depth plane travels; `fuse_step.fuse_frame_stereo_packed` computes it
+    on device).  Camera feeds are u8 already (zero-copy); f32 renders are
+    clipped/converted here."""
+    out = []
+    for name, img in (("left", left), ("right", right)):
+        img = np.asarray(img)
+        if img.shape != (config.height, config.width):
+            raise ValueError(f"{name} shape {img.shape} != camera "
+                             f"{(config.height, config.width)}")
+        if img.dtype != np.uint8:
+            img = np.clip(img, 0, 255).astype(np.uint8)
+        out.append(img.reshape(-1))
+    return np.concatenate(out)
+
+
 def valid_pixel_mask(config: SurfelMapConfig) -> np.ndarray:
     """Static (H_pad, W_pad) mask of pixels that exist in the raw image."""
     m = np.zeros((config.padded_height, config.padded_width), bool)

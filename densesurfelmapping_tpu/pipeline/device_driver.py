@@ -54,6 +54,13 @@ class DeviceResidentMapping(SurfelMapping):
         config.max_keyframes; called again on keyframe-capacity growth."""
         from .fuse_step import jitted_fuse_frame_windowed_packed
         self._fuse_windowed = jitted_fuse_frame_windowed_packed(self.config)
+        if self._stereo_cfg is not None:
+            self._build_stereo_jit()
+
+    def _build_stereo_jit(self) -> None:
+        from .fuse_step import jitted_fuse_frame_stereo_windowed_packed
+        self._stereo_fuse = jitted_fuse_frame_stereo_windowed_packed(
+            self.config, self._stereo_cfg, self._stereo_filter)
 
     def _ensure_keyframe_capacity(self) -> None:
         """Grow max_keyframes to the next power of two when the pose graph
@@ -94,11 +101,18 @@ class DeviceResidentMapping(SurfelMapping):
     # ------------------------------------------------------------------
     def _fuse_frame(self, image, depth, pose, ref_index: int) -> None:
         from ..core.state import pack_frame
-        buf = pack_frame(self.config, image, depth)
-        self.bank, stats = self._fuse_windowed(
-            self.bank, jnp.asarray(buf),
-            jnp.asarray(np.asarray(pose, np.float32).reshape(4, 4)),
-            jnp.int32(ref_index), jnp.asarray(self._window_np))
+        from .driver import _StereoPair
+        pose_dev = jnp.asarray(np.asarray(pose, np.float32).reshape(4, 4))
+        if isinstance(depth, _StereoPair):
+            self.bank, stats = self._stereo_fuse(
+                self.bank, jnp.asarray(depth.buf), pose_dev,
+                jnp.int32(ref_index), jnp.float32(self._stereo_bf),
+                jnp.asarray(self._window_np))
+        else:
+            buf = pack_frame(self.config, image, depth)
+            self.bank, stats = self._fuse_windowed(
+                self.bank, jnp.asarray(buf), pose_dev,
+                jnp.int32(ref_index), jnp.asarray(self._window_np))
         self._stats_dev = stats
         self._host_rows = None
         self.frames_fused += 1

@@ -23,7 +23,8 @@ import numpy as np
 
 from ..config import SurfelMapConfig
 from ..core import geometry
-from ..core.state import FrameInput, SurfelBank, pad_frame
+from ..core.state import (FrameInput, SurfelBank, pad_frame,
+                          pack_stereo_pair)
 from ..ops import migration, warp as warp_ops
 from ..utils.timing import StageTimer
 from .fuse_step import jitted_fuse_frame, jitted_compact
@@ -31,6 +32,15 @@ from .inactive_pool import InactivePool, FIELDS
 from .pose_graph import PoseGraph
 
 import functools
+
+
+class _StereoPair:
+    """Depth-buffer marker: a packed u8 left/right pair whose depth is
+    computed on device inside the fuse program (enable_stereo)."""
+    __slots__ = ("buf",)
+
+    def __init__(self, buf: np.ndarray):
+        self.buf = buf
 
 
 @functools.lru_cache(maxsize=4)
@@ -87,6 +97,12 @@ class SurfelMapping:
         self.max_buffered = 5000   # reference queue depth (ros_node.cpp:24)
         self.dropped = collections.Counter()
 
+        # on-device stereo front-end (enable_stereo/feed_stereo)
+        self._stereo_cfg = None
+        self._stereo_bf: Optional[float] = None
+        self._stereo_filter = True
+        self._stereo_fuse = None
+
     # ------------------------------------------------------------------
     # inputs (reference: image_input/depth_input/orb_results_input)
     # ------------------------------------------------------------------
@@ -101,6 +117,41 @@ class SurfelMapping:
     def feed_image(self, stamp: float, image: np.ndarray) -> None:
         self._check_frame("image", image)
         self.image_buffer.append((float(stamp), image))
+        self._trim_buffers()
+        self._synchronize()
+
+    def enable_stereo(self, bf: float, stereo_config=None,
+                      filter_depth: bool = True) -> None:
+        """Switch the depth source to the on-device stereo front-end:
+        `feed_stereo(stamp, left, right)` replaces feed_image+feed_depth.
+        bf = fx * baseline (the `depth = bf / disparity` contract of
+        kitti_publisher's publisher.py:40).  Depth is computed INSIDE the
+        fuse program — no per-frame readback, and the upload shrinks to
+        two u8 planes."""
+        from ..models.stereo import StereoConfig
+
+        self._stereo_cfg = stereo_config or StereoConfig()
+        self._stereo_bf = float(bf)
+        self._stereo_filter = bool(filter_depth)
+        self._build_stereo_jit()
+
+    def _build_stereo_jit(self) -> None:
+        from .fuse_step import jitted_fuse_frame_stereo_packed
+        self._stereo_fuse = jitted_fuse_frame_stereo_packed(
+            self.config, self._stereo_cfg, self._stereo_filter)
+
+    def feed_stereo(self, stamp: float, left: np.ndarray,
+                    right: np.ndarray) -> None:
+        """Rectified stereo pair at `stamp`; pairs with feed_pose exactly
+        like feed_image+feed_depth (the left image is the fuse intensity).
+        Requires enable_stereo()."""
+        if self._stereo_fuse is None:
+            raise RuntimeError("feed_stereo before enable_stereo(bf=...)")
+        self._check_frame("left", left)
+        self._check_frame("right", right)
+        buf = pack_stereo_pair(self.config, left, right)
+        self.image_buffer.append((float(stamp), np.asarray(left)))
+        self.depth_buffer.append((float(stamp), _StereoPair(buf)))
         self._trim_buffers()
         self._synchronize()
 
@@ -211,6 +262,12 @@ class SurfelMapping:
 
     def _fuse_frame(self, image, depth, pose, ref_index: int) -> None:
         pose_dev = jnp.asarray(np.asarray(pose, np.float32).reshape(4, 4))
+        if isinstance(depth, _StereoPair):
+            self.bank, stats = self._stereo_fuse(
+                self.bank, jnp.asarray(depth.buf), pose_dev,
+                jnp.int32(ref_index), jnp.float32(self._stereo_bf))
+            self._fuse_epilogue(stats)
+            return
         if self.config.compact_upload:
             from ..core.state import compact_frame
             ci, cd = compact_frame(self.config, image, depth)
@@ -224,6 +281,9 @@ class SurfelMapping:
                 image=jnp.asarray(pi), depth=jnp.asarray(pd),
                 pose=pose_dev, frame_index=jnp.int32(ref_index))
             self.bank, stats = self._fuse(self.bank, frame)
+        self._fuse_epilogue(stats)
+
+    def _fuse_epilogue(self, stats) -> None:
         self._stats_dev = stats   # device values; synced on stats frames
         self.frames_fused += 1
         if self.frames_fused % self.config.stats_interval == 0:

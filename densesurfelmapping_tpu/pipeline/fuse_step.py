@@ -153,6 +153,99 @@ def jitted_fuse_frame_windowed(config: SurfelMapConfig):
                    donate_argnums=(0,))
 
 
+def unpack_stereo(config: SurfelMapConfig, buf: jnp.ndarray):
+    """In-jit decode of `core.state.pack_stereo_pair`: (2*H*W,) u8 ->
+    (left f32, right f32) at raw camera resolution (the matcher needs
+    signed intensity arithmetic)."""
+    oh, ow = config.height, config.width
+    hw = oh * ow
+    left = jax.lax.slice_in_dim(buf, 0, hw).reshape(oh, ow)
+    right = jax.lax.slice_in_dim(buf, hw, 2 * hw).reshape(oh, ow)
+    return left.astype(jnp.float32), right.astype(jnp.float32)
+
+
+def compute_depth_stereo(config: SurfelMapConfig, stereo_config,
+                         left_f32: jnp.ndarray, right_f32: jnp.ndarray,
+                         bf: jnp.ndarray, filter_depth: bool = True
+                         ) -> jnp.ndarray:
+    """On-device stereo front-end: disparity -> metric depth (the
+    `depth = bf / disparity` contract of kitti_publisher's publisher.py:40)
+    -> optional flyer/median post-filter.  bf = fx * baseline is a traced
+    scalar so one program serves every sequence."""
+    from ..models import stereo as stereo_model
+    from ..ops import depthfilter
+
+    disp = stereo_model.disparity(left_f32, right_f32, stereo_config)
+    depth = jnp.where(disp > 0, bf / jnp.maximum(disp, 1e-6), 0.0)
+    depth = jnp.where(depth <= config.fuse_far, depth, 0.0)
+    if filter_depth:
+        depth = depthfilter.clean_depth(depth)
+    return depth
+
+
+def fuse_frame_stereo_packed(config: SurfelMapConfig, stereo_config,
+                             filter_depth: bool, bank: SurfelBank,
+                             buf: jnp.ndarray, pose: jnp.ndarray,
+                             frame_index: jnp.ndarray, bf: jnp.ndarray
+                             ) -> Tuple[SurfelBank, dict]:
+    """Stereo-resident fuse step: ONE device program from a packed u8
+    left/right pair to the updated bank — no per-frame depth readback (a
+    single blocking D2H drops the client out of async dispatch for good,
+    CLAUDE.md) and less H2D than image+depth (2 u8 planes vs u8 + f16).
+
+    Replaces the reference's offline-PSMNet depth source
+    (`kitti_publisher/scripts/publisher.py:36-41`) with an on-TPU
+    front-end fused into the mapping step."""
+    ph, pw = config.padded_height, config.padded_width
+    oh, ow = config.height, config.width
+    left, right = unpack_stereo(config, buf)
+    depth = compute_depth_stereo(config, stereo_config, left, right, bf,
+                                 filter_depth)
+    img = jnp.pad(left, ((0, ph - oh), (0, pw - ow)))
+    dep = jnp.pad(depth, ((0, ph - oh), (0, pw - ow)))
+    return fuse_frame(config, bank, FrameInput(
+        image=img, depth=dep, pose=pose, frame_index=frame_index))
+
+
+@functools.lru_cache(maxsize=4)
+def jitted_fuse_frame_stereo_packed(config: SurfelMapConfig, stereo_config,
+                                    filter_depth: bool = True):
+    return jax.jit(functools.partial(fuse_frame_stereo_packed, config,
+                                     stereo_config, filter_depth),
+                   donate_argnums=(0,))
+
+
+def fuse_frame_stereo_windowed_packed(config: SurfelMapConfig,
+                                      stereo_config, filter_depth: bool,
+                                      bank: SurfelBank, buf: jnp.ndarray,
+                                      pose: jnp.ndarray,
+                                      frame_index: jnp.ndarray,
+                                      bf: jnp.ndarray,
+                                      pose_mask: jnp.ndarray
+                                      ) -> Tuple[SurfelBank, dict]:
+    """Stereo-resident fuse step with the device-resident window gating
+    (see fuse_frame_windowed)."""
+    ph, pw = config.padded_height, config.padded_width
+    oh, ow = config.height, config.width
+    left, right = unpack_stereo(config, buf)
+    depth = compute_depth_stereo(config, stereo_config, left, right, bf,
+                                 filter_depth)
+    img = jnp.pad(left, ((0, ph - oh), (0, pw - ow)))
+    dep = jnp.pad(depth, ((0, ph - oh), (0, pw - ow)))
+    return fuse_frame(config, bank, FrameInput(
+        image=img, depth=dep, pose=pose, frame_index=frame_index),
+        pose_mask=pose_mask)
+
+
+@functools.lru_cache(maxsize=4)
+def jitted_fuse_frame_stereo_windowed_packed(config: SurfelMapConfig,
+                                             stereo_config,
+                                             filter_depth: bool = True):
+    return jax.jit(functools.partial(fuse_frame_stereo_windowed_packed,
+                                     config, stereo_config, filter_depth),
+                   donate_argnums=(0,))
+
+
 def fuse_frames_scan(config: SurfelMapConfig, bank: SurfelBank,
                      images_u8: jnp.ndarray, depths_f16: jnp.ndarray,
                      poses: jnp.ndarray, frame_indices: jnp.ndarray

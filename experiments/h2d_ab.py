@@ -52,14 +52,14 @@ def main(n_frames: int = 200, warmup: int = 5):
     def timed(name, body):
         bank = SurfelBank.empty(cfg.surfel_capacity)
         bank = body(bank, 0, warmup)                 # warmup/compile
-        jax.block_until_ready(bank.count)
-        t0 = time.perf_counter()
+        np.asarray(bank.count)       # D2H fence: block_until_ready can
+        t0 = time.perf_counter()     # return early through the relay
         bank = body(bank, warmup, n_frames)
-        jax.block_until_ready(bank.count)
+        cnt = int(np.asarray(bank.count))
         dt = time.perf_counter() - t0
         print(f"{name:12s} {n_frames / dt:8.1f} fps "
               f"({1e3 * dt / n_frames:.3f} ms/frame), "
-              f"map {int(bank.count)}")
+              f"map {cnt}", flush=True)
         return n_frames / dt
 
     def run_a(bank, start, n):
