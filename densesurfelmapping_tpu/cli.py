@@ -266,6 +266,10 @@ def cmd_multi(args):
         cfg = kitti_config(surfel_capacity=1 << args.capacity_log2)
     B = args.streams
     multi = MultiSessionMapping(cfg, n_streams=B)
+    if getattr(args, "stereo", False):
+        from .models.stereo import StereoConfig
+        multi.enable_stereo(bf=cfg.camera.fx * 0.54,
+                            stereo_config=StereoConfig())
     scene = synthetic.default_scene()
     t0 = time.perf_counter()
     for i in range(args.frames):
@@ -276,8 +280,14 @@ def cmd_multi(args):
             img, dep = scene.render(cfg, pose)
             multi.feed_pose(k, float(i), pose,
                             is_keyframe=(i % args.kf_every == 0))
-            multi.feed_image(k, float(i), img)
-            multi.feed_depth(k, float(i), dep)
+            if getattr(args, "stereo", False):
+                rp = pose.copy()
+                rp[:3, 3] += rp[:3, 0] * 0.54
+                rimg, _ = scene.render(cfg, rp)
+                multi.feed_stereo(k, float(i), img, rimg)
+            else:
+                multi.feed_image(k, float(i), img)
+                multi.feed_depth(k, float(i), dep)
         multi.step()
     dt = time.perf_counter() - t0
     total = args.frames * B
@@ -500,6 +510,9 @@ def main(argv=None):
     common(p)
     p.add_argument("--streams", type=int, default=4)
     p.add_argument("--frames", type=int, default=50)
+    p.add_argument("--stereo", action="store_true",
+                   help="serve raw stereo pairs: depth computed on-device "
+                        "inside the batched fuse program (KITTI baseline)")
     p.set_defaults(fn=cmd_multi)
 
     p = sub.add_parser("stress", help="seq-00-scale loop-closure stress run "

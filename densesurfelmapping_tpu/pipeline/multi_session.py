@@ -24,6 +24,11 @@ Serving lifecycle:
 * persistence — per-session `save_cloud` / `save_mesh` / `save_checkpoint`
   / `load_checkpoint` match the solo drivers' export semantics
   (`save_cloud`/`save_mesh`, surfel_map.cpp:1153-1280).
+* stereo serving — `enable_stereo(bf)` switches the WHOLE fleet to raw
+  stereo-pair input: the batched step runs the on-device front-end of
+  `fuse_step.fuse_frame_stereo_windowed_packed` per stream (padded
+  sessions ride an all-zero pair, which the textureless gate makes a
+  no-op).
 
 Measured: 4 sessions aggregate 802 frames/s on one v5e vs 624 fps for one.
 """
@@ -55,6 +60,16 @@ from .pose_graph import PoseGraph
 def _batched_windowed_step(config: SurfelMapConfig):
     return jax.jit(
         jax.vmap(functools.partial(fuse_frame_windowed_packed, config)),
+        donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=4)
+def _batched_stereo_step(config: SurfelMapConfig, stereo_config,
+                         filter_depth: bool):
+    from .fuse_step import fuse_frame_stereo_windowed_packed
+    return jax.jit(
+        jax.vmap(functools.partial(fuse_frame_stereo_windowed_packed,
+                                   config, stereo_config, filter_depth)),
         donate_argnums=(0,))
 
 
@@ -110,6 +125,12 @@ class MultiSessionMapping:
         self.stamp_tolerance = 1e-6
         self.rounds = 0
 
+        # fleet-wide on-device stereo front-end (enable_stereo/feed_stereo)
+        self._stereo_cfg = None
+        self._stereo_filter = True
+        self._stereo_bf: Optional[float] = None
+        self._stereo_step = None
+
     # ------------------------------------------------------------------
     # per-session feeds (same schema as SurfelMapping)
     # ------------------------------------------------------------------
@@ -118,8 +139,37 @@ class MultiSessionMapping:
             (float(stamp), image, time.monotonic()))
 
     def feed_depth(self, stream: int, stamp: float, depth) -> None:
+        if self._stereo_cfg is not None:
+            raise RuntimeError("fleet is in stereo mode; use feed_stereo")
         self.sessions[stream].depth_buffer.append(
             (float(stamp), depth, time.monotonic()))
+
+    def enable_stereo(self, bf: float, stereo_config=None,
+                      filter_depth: bool = True) -> None:
+        """Switch the WHOLE fleet's depth source to the on-device stereo
+        front-end (one batched program per round covers every stream; mixed
+        fleets would need two dispatches, defeating the batching).  bf =
+        fx * baseline, shared — streams already share the camera config."""
+        from ..models.stereo import StereoConfig
+
+        self._stereo_cfg = stereo_config or StereoConfig()
+        self._stereo_bf = float(bf)
+        self._stereo_filter = bool(filter_depth)
+        self._stereo_step = _batched_stereo_step(
+            self.config, self._stereo_cfg, self._stereo_filter)
+
+    def feed_stereo(self, stream: int, stamp: float, left, right) -> None:
+        """Rectified pair for one stream; the left image is the fuse
+        intensity.  Requires enable_stereo()."""
+        if self._stereo_step is None:
+            raise RuntimeError("feed_stereo before enable_stereo(bf=...)")
+        from ..core.state import pack_stereo_pair
+
+        buf = pack_stereo_pair(self.config, left, right)
+        s = self.sessions[stream]
+        now = time.monotonic()
+        s.image_buffer.append((float(stamp), np.asarray(left), now))
+        s.depth_buffer.append((float(stamp), buf, now))
 
     def feed_pose(self, stream: int, stamp: float, pose,
                   loop_path=None, loop_edges: Sequence = (),
@@ -209,6 +259,9 @@ class MultiSessionMapping:
         self.config = dataclasses.replace(self.config, max_keyframes=new_p)
         self._step = _batched_windowed_step(self.config)
         self._warp = _batched_warp(self.config)
+        if self._stereo_cfg is not None:
+            self._stereo_step = _batched_stereo_step(
+                self.config, self._stereo_cfg, self._stereo_filter)
         for s in self.sessions:
             s.grow_window(new_p)
 
@@ -224,7 +277,12 @@ class MultiSessionMapping:
         self._ensure_keyframe_capacity()
         cfg = self.config
         h, w = cfg.height, cfg.width
-        bufs = np.zeros((self.n_streams, 3 * h * w), np.uint8)
+        stereo = self._stereo_cfg is not None
+        # stereo pads stay all-zero: constant images produce no valid
+        # disparities, so a padded session's step is a no-op by the same
+        # textureless-rejection gate the matcher always applies
+        bufs = np.zeros((self.n_streams, (2 if stereo else 3) * h * w),
+                        np.uint8)
         poses = np.tile(np.eye(4, dtype=np.float32), (self.n_streams, 1, 1))
         refs = np.zeros(self.n_streams, np.int32)
         masks = np.zeros((self.n_streams, cfg.max_keyframes), bool)
@@ -241,7 +299,7 @@ class MultiSessionMapping:
             s.window[list(window)] = True
             s.first_local = min(window) if window else 0
             fuse_pose = s.graph.keyframes[ref].cam_pose @ rel
-            bufs[k] = pack_frame(cfg, img, dep)
+            bufs[k] = dep if stereo else pack_frame(cfg, img, dep)
             poses[k] = np.asarray(fuse_pose, np.float32)
             refs[k] = ref
             masks[k] = s.window
@@ -252,9 +310,15 @@ class MultiSessionMapping:
             s.frames_fused += 1
             fused_real += 1
 
-        self.banks, stats = self._step(
-            self.banks, jnp.asarray(bufs),
-            jnp.asarray(poses), jnp.asarray(refs), jnp.asarray(masks))
+        if stereo:
+            bf = np.full(self.n_streams, self._stereo_bf, np.float32)
+            self.banks, stats = self._stereo_step(
+                self.banks, jnp.asarray(bufs), jnp.asarray(poses),
+                jnp.asarray(refs), jnp.asarray(bf), jnp.asarray(masks))
+        else:
+            self.banks, stats = self._step(
+                self.banks, jnp.asarray(bufs),
+                jnp.asarray(poses), jnp.asarray(refs), jnp.asarray(masks))
         if "n_dropped" in stats:
             # device-side accumulation (one tiny fused add, no readback)
             self._drop_accum = _accumulate()(self._drop_accum,

@@ -222,3 +222,94 @@ def test_multi_session_loop_warp():
     after1 = multi.session_surfels(1)["position"]
     np.testing.assert_allclose(after0[:, 1], before[0][:, 1] + 1.0, atol=1e-4)
     np.testing.assert_allclose(after1, before[1], atol=1e-6)
+
+
+def test_stereo_fleet_matches_solo_stereo_driver():
+    """Fleet-wide on-device stereo: a 2-stream stereo fleet produces the
+    same per-session maps as solo DeviceResidentMapping drivers running
+    the same stereo-resident path."""
+    from densesurfelmapping_tpu.config import SurfelMapConfig, CameraIntrinsics
+    from densesurfelmapping_tpu.io import synthetic
+    from densesurfelmapping_tpu.models.stereo import StereoConfig
+
+    cam = CameraIntrinsics(width=120, height=56, fx=80.0, fy=80.0,
+                           cx=59.5, cy=27.5)
+    cfg = SurfelMapConfig(camera=cam, surfel_capacity=8192, lane_align=8,
+                          drift_free_poses=3, compact_interval=1000)
+    scene = synthetic.Scene(ground_y=1.5, wall_z=18.0,
+                            boxes=synthetic.default_scene().boxes,
+                            max_depth=25.0, texture="multisine")
+    scfg = StereoConfig(max_disparity=64, min_disparity=1, radius=3)
+    baseline = 0.5
+    bf = cam.fx * baseline
+
+    multi = MultiSessionMapping(cfg, n_streams=2)
+    multi.enable_stereo(bf=bf, stereo_config=scfg)
+    solos = [DeviceResidentMapping(cfg) for _ in range(2)]
+    for m in solos:
+        m.enable_stereo(bf=bf, stereo_config=scfg)
+
+    with pytest.raises(RuntimeError, match="stereo mode"):
+        multi.feed_depth(0, 0.0, np.zeros((cam.height, cam.width)))
+
+    offsets = [0.0, 0.2]
+    for i in range(4):
+        for k in range(2):
+            pose = np.eye(4)
+            pose[0, 3] = 0.3 * i + offsets[k]
+            rp = pose.copy()
+            rp[:3, 3] += rp[:3, 0] * baseline
+            li, _ = scene.render(cfg, pose)
+            ri, _ = scene.render(cfg, rp)
+            multi.feed_pose(k, float(i), pose, is_keyframe=True)
+            multi.feed_stereo(k, float(i), li, ri)
+            solos[k].feed_pose(float(i), pose, is_keyframe=True)
+            solos[k].feed_stereo(float(i), li, ri)
+        assert multi.step_ready()
+        multi.step()
+
+    for k in range(2):
+        got = multi.session_surfels(k, min_updates=1)
+        n_solo = int(np.asarray(solos[k].bank.count))
+        rows = {kk: np.asarray(getattr(solos[k].bank, kk))[:n_solo]
+                for kk in got}
+        live = rows["update_times"] > 0
+        want = {kk: vv[live] for kk, vv in rows.items()}
+        assert len(got["position"]) > 50
+        assert len(got["position"]) == len(want["position"])
+        np.testing.assert_allclose(np.sort(got["position"], axis=0),
+                                   np.sort(want["position"], axis=0),
+                                   atol=1e-5)
+
+
+def test_stereo_fleet_flush_pad_is_noop():
+    """A padded stereo step (all-zero pair) must fuse nothing into the
+    padded session."""
+    from densesurfelmapping_tpu.config import SurfelMapConfig, CameraIntrinsics
+    from densesurfelmapping_tpu.io import synthetic
+    from densesurfelmapping_tpu.models.stereo import StereoConfig
+
+    cam = CameraIntrinsics(width=120, height=56, fx=80.0, fy=80.0,
+                           cx=59.5, cy=27.5)
+    cfg = SurfelMapConfig(camera=cam, surfel_capacity=8192, lane_align=8,
+                          drift_free_poses=3, compact_interval=1000)
+    scene = synthetic.Scene(ground_y=1.5, wall_z=18.0,
+                            boxes=synthetic.default_scene().boxes,
+                            max_depth=25.0, texture="multisine")
+    multi = MultiSessionMapping(cfg, n_streams=2)
+    multi.enable_stereo(bf=cam.fx * 0.5,
+                        stereo_config=StereoConfig(max_disparity=64,
+                                                   min_disparity=1,
+                                                   radius=3))
+    pose = np.eye(4)
+    rp = pose.copy()
+    rp[0, 3] += 0.5
+    li, _ = scene.render(cfg, pose)
+    ri, _ = scene.render(cfg, rp)
+    multi.feed_pose(0, 0.0, pose, is_keyframe=True)
+    multi.feed_stereo(0, 0.0, li, ri)
+    assert not multi.step_ready()
+    multi.step(flush=True)
+    counts = np.asarray(multi.banks.count)
+    assert counts[0] > 30        # real stereo frame fused
+    assert counts[1] == 0        # padded session untouched
