@@ -73,10 +73,12 @@ def _finish(mapping, cfg, args, last_frame=None):
     viz.save_camera_markers(args.out + "_cameras.ply", poses, cfg.camera,
                             scale=1.0, loop_edges=edges)
     mapping.save_checkpoint(args.out + ".ckpt.npz")
+    n_traj = mapping.save_trajectory(args.out + "_traj.txt", fmt="kitti")
     print(f"saved {n_cloud} cloud points -> {args.out}.pcd, "
           f"{n_mesh} mesh surfels -> {args.out}_mesh.ply, "
           f"{len(poses)} cameras -> {args.out}_cameras.ply, "
-          f"checkpoint -> {args.out}.ckpt.npz")
+          f"checkpoint -> {args.out}.ckpt.npz, "
+          f"{n_traj} keyframe poses -> {args.out}_traj.txt")
     if mapping.graph.keyframes:
         # map-view render: the fused map splatted back into the latest
         # keyframe's camera (the rviz "what does the map look like" view)

@@ -153,3 +153,52 @@ def load_ply_vertices(path: str) -> np.ndarray:
             return buf["xyz"].copy()
         rows = [f.readline().decode().split()[:3] for _ in range(n_verts)]
         return np.array(rows, np.float64)
+
+
+def save_trajectory_kitti(path: str, poses, stamps=None) -> int:
+    """KITTI odometry trajectory format: one 3x4 row-major Twc per line.
+
+    `poses` is a sequence of 4x4 Twc (the driver's loop-corrected keyframe
+    path — the data the reference publishes continuously on /loop_path,
+    `ros_stereo.cc:214-257`); written so standard external eval tooling
+    (evo, kitti-devkit) consumes the rebuilt map's trajectory directly."""
+    import numpy as np
+
+    with open(path, "w") as f:
+        for p in poses:
+            row = np.asarray(p, np.float64)[:3, :4].reshape(-1)
+            f.write(" ".join(f"{v:.9e}" for v in row) + "\n")
+    return len(poses)
+
+
+def save_trajectory_tum(path: str, poses, stamps) -> int:
+    """TUM trajectory format: `stamp tx ty tz qx qy qz qw` per line
+    (the rgbd-benchmark-tools / evo input convention)."""
+    import numpy as np
+
+    def quat_wxyz(R):
+        # Shepperd's method: numerically stable for every rotation sign
+        t = np.trace(R)
+        if t > 0:
+            s = np.sqrt(t + 1.0) * 2
+            return np.array([0.25 * s, (R[2, 1] - R[1, 2]) / s,
+                             (R[0, 2] - R[2, 0]) / s,
+                             (R[1, 0] - R[0, 1]) / s])
+        i = int(np.argmax(np.diag(R)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 0.0)) * 2
+        q = np.empty(4)
+        q[0] = (R[k, j] - R[j, k]) / s
+        q[1 + i] = 0.25 * s
+        q[1 + j] = (R[j, i] + R[i, j]) / s
+        q[1 + k] = (R[k, i] + R[i, k]) / s
+        return q
+
+    with open(path, "w") as f:
+        for stamp, p in zip(stamps, poses):
+            p = np.asarray(p, np.float64)
+            w, x, y, z = quat_wxyz(p[:3, :3])
+            tx, ty, tz = p[:3, 3]
+            f.write(f"{stamp:.6f} {tx:.9f} {ty:.9f} {tz:.9f} "
+                    f"{x:.9f} {y:.9f} {z:.9f} {w:.9f}\n")
+    return len(poses)

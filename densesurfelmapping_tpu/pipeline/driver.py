@@ -445,6 +445,20 @@ class SurfelMapping:
         from ..io import export
         return export.save_mesh_ply(path, self.mesh_surfels(), binary=binary)
 
+    def save_trajectory(self, path: str, fmt: str = "kitti") -> int:
+        """Loop-corrected keyframe trajectory ("kitti" 3x4 rows or "tum"
+        stamped quaternions) for external eval tooling — the file form of
+        the reference's continuously published /loop_path
+        (`ros_stereo.cc:214-257`)."""
+        from ..io import export
+        poses = [k.loop_pose for k in self.graph.keyframes]
+        stamps = [k.stamp for k in self.graph.keyframes]
+        if fmt == "kitti":
+            return export.save_trajectory_kitti(path, poses, stamps)
+        if fmt == "tum":
+            return export.save_trajectory_tum(path, poses, stamps)
+        raise ValueError(f"unknown trajectory format {fmt!r}")
+
     def raw_pointcloud(self, depth: np.ndarray, pose: np.ndarray,
                        image: Optional[np.ndarray] = None) -> dict:
         """Back-projected world-frame cloud of one raw depth frame — the

@@ -230,3 +230,65 @@ def test_native_pack_frame_matches_numpy():
     ci, cd = compact_frame(cfg, img, dep)    # numpy path
     want = np.concatenate([ci.reshape(-1), cd.reshape(-1).view(np.uint8)])
     np.testing.assert_array_equal(got, want)
+
+
+def test_trajectory_export_roundtrip(tmp_path):
+    """KITTI and TUM trajectory writers: parse back and recover the poses."""
+    import numpy as np
+    from densesurfelmapping_tpu.io import export
+
+    rng = np.random.RandomState(5)
+    poses, stamps = [], []
+    for i in range(6):
+        # random valid SE3
+        a = rng.normal(size=(3, 3))
+        q, _ = np.linalg.qr(a)
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        p = np.eye(4)
+        p[:3, :3] = q
+        p[:3, 3] = rng.normal(size=3) * 5
+        poses.append(p)
+        stamps.append(0.1 * i)
+
+    kp = tmp_path / "traj_kitti.txt"
+    assert export.save_trajectory_kitti(str(kp), poses, stamps) == 6
+    rows = np.loadtxt(str(kp))
+    assert rows.shape == (6, 12)
+    for i, p in enumerate(poses):
+        np.testing.assert_allclose(rows[i].reshape(3, 4), p[:3, :4],
+                                   atol=1e-8)
+
+    tp = tmp_path / "traj_tum.txt"
+    assert export.save_trajectory_tum(str(tp), poses, stamps) == 6
+    rows = np.loadtxt(str(tp))
+    assert rows.shape == (6, 8)
+    for i, p in enumerate(poses):
+        np.testing.assert_allclose(rows[i][1:4], p[:3, 3], atol=1e-8)
+        x, y, z, w = rows[i][4:8]
+        # rebuild the rotation from the quaternion and compare
+        R = np.array([
+            [1 - 2*(y*y + z*z), 2*(x*y - w*z), 2*(x*z + w*y)],
+            [2*(x*y + w*z), 1 - 2*(x*x + z*z), 2*(y*z - w*x)],
+            [2*(x*z - w*y), 2*(y*z + w*x), 1 - 2*(x*x + y*y)]])
+        np.testing.assert_allclose(R, p[:3, :3], atol=1e-7)
+        assert abs(rows[i][0] - stamps[i]) < 1e-9
+
+
+def test_driver_save_trajectory(tmp_path):
+    import numpy as np
+    from test_driver import tiny_config, render_plane, feed_frame
+    from densesurfelmapping_tpu.pipeline.driver import SurfelMapping
+
+    cfg = tiny_config()
+    m = SurfelMapping(cfg)
+    for i in range(3):
+        pose = np.eye(4)
+        pose[0, 3] = 0.3 * i
+        img, dep = render_plane(cfg, pose)
+        feed_frame(m, float(i), pose, img, dep, is_keyframe=True)
+    out = tmp_path / "t.txt"
+    assert m.save_trajectory(str(out)) == 3
+    rows = np.loadtxt(str(out))
+    np.testing.assert_allclose(rows[2].reshape(3, 4)[:, 3][:1], [0.6],
+                               atol=1e-8)
