@@ -44,6 +44,11 @@ class StereoConfig(NamedTuple):
     sgm_p1: float = 1.0
     sgm_p2: float = 8.0
     sgm_paths: int = 8            # 4 (h/v) or 8 (+ diagonals)
+    # aggregation backend: the Pallas kernel keeps the DP carries VMEM-
+    # resident (one grid pass per axis covers both orientations) — same
+    # math bitwise as the lax.scan path, minus its per-step dispatch
+    # overhead; off-TPU it runs in interpret mode (tests cross-check)
+    sgm_pallas: bool = True
     # matching cost for the SGM volume: "sad" (box-aggregated abs diff) or
     # "census" (Hamming distance of 5x5 census transforms — radiometrically
     # robust, integer costs <= 24, the production SGM standard)
@@ -197,8 +202,8 @@ def _axis_scan(v: jnp.ndarray, rolls, p1: float, p2: float) -> jnp.ndarray:
     return one_dir(False) + one_dir(True)
 
 
-def _sgm_aggregate(vol: jnp.ndarray, p1: float, p2: float,
-                   n_paths: int) -> jnp.ndarray:
+def _sgm_aggregate(vol: jnp.ndarray, p1: float, p2: float, n_paths: int,
+                   use_pallas: bool = True) -> jnp.ndarray:
     """4- or 8-path semi-global aggregation of a (D, H, W) cost volume;
     returns the f32 summed volume.
 
@@ -206,17 +211,23 @@ def _sgm_aggregate(vol: jnp.ndarray, p1: float, p2: float,
     L = C exactly.  Horizontal paths scan over x; vertical AND diagonal
     paths share the y scan (diagonals shift the carry one column per row).
     Directions sharing an axis+orientation are batched into one scan —
-    4 scans total instead of one per direction (8)."""
+    4 scans total instead of one per direction (8); with use_pallas both
+    orientations of an axis collapse into ONE VMEM-resident kernel pass
+    (ops/pallas/sgm.py, bitwise-equal)."""
     assert n_paths in (4, 8), n_paths
+    if use_pallas:
+        from ..ops.pallas.sgm import axis_scan_pallas as scan
+    else:
+        scan = _axis_scan
 
     vh = jnp.transpose(vol, (2, 1, 0))          # (W, H, D): scan over x
-    agg = jnp.transpose(_axis_scan(vh, (0,), p1, p2), (2, 1, 0))
+    agg = jnp.transpose(scan(vh, (0,), p1, p2), (2, 1, 0))
 
     vv = jnp.transpose(vol, (1, 2, 0))          # (H, W, D): scan over y
     # (1,1)/(-1,1): previous pixel one column left -> roll +1;
     # (1,-1)/(-1,-1): one column right -> roll -1
     v_rolls = (0,) if n_paths == 4 else (0, 1, -1)
-    v_sum = _axis_scan(vv, v_rolls, p1, p2)
+    v_sum = scan(vv, v_rolls, p1, p2)
     return agg + jnp.transpose(v_sum, (2, 0, 1))
 
 
@@ -227,7 +238,8 @@ def _disparity_sgm(left: jnp.ndarray, right: jnp.ndarray,
     h, w = left.shape
     n_paths = float(cfg.sgm_paths)
     vol = _cost_volume(left, right, cfg)
-    agg = _sgm_aggregate(vol, cfg.sgm_p1, cfg.sgm_p2, cfg.sgm_paths)
+    agg = _sgm_aggregate(vol, cfg.sgm_p1, cfg.sgm_p2, cfg.sgm_paths,
+                         cfg.sgm_pallas)
     D = agg.shape[0]
 
     # Left WTA + sub-pixel WITHOUT take_along_axis: volume gathers measured

@@ -237,3 +237,44 @@ def test_sgm_rejects_constant_image():
     scfg = stereo.StereoConfig(max_disparity=32, aggregation="sgm")
     disp = np.asarray(stereo.disparity(flat, flat, scfg))
     assert (disp > 0).mean() < 0.05
+
+
+def test_pallas_sgm_matches_xla_axis_scan():
+    """ops/pallas/sgm.axis_scan_pallas must equal the lax.scan twin
+    exactly (interpret mode off-TPU), including through the masked-BIG
+    wedge and at non-granule sizes."""
+    from densesurfelmapping_tpu.ops.pallas import sgm as sgm_pallas
+
+    rng = np.random.RandomState(7)
+    for (H, W, D) in [(24, 40, 30), (17, 33, 7)]:
+        vol = rng.randint(0, 25, size=(D, H, W)).astype(np.float32)
+        wedge = np.arange(W)[None, None, :] < (np.arange(D) + 1)[:, None,
+                                                                 None]
+        vol = np.where(wedge, 1e4, vol)
+        volj = jnp.asarray(vol, jnp.bfloat16)
+        for v, rolls in [
+            (jnp.transpose(volj, (2, 1, 0)), (0,)),
+            (jnp.transpose(volj, (1, 2, 0)), (0, 1, -1)),
+        ]:
+            want = np.asarray(stereo._axis_scan(v, rolls, 1.0, 8.0),
+                              np.float32)
+            got = np.asarray(
+                sgm_pallas.axis_scan_pallas(v, rolls, 1.0, 8.0),
+                np.float32)
+            np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_sgm_disparity_matches_xla(stereo_pair):
+    """Full SGM disparity: the Pallas aggregation backend reproduces the
+    lax.scan backend's output bitwise."""
+    cfg, left, true_depth, right = stereo_pair
+    base = stereo.StereoConfig(max_disparity=64, min_disparity=1, radius=3,
+                               aggregation="sgm", cost="census",
+                               sgm_paths=8)
+    d_p = np.asarray(stereo.jitted_disparity(
+        base._replace(sgm_pallas=True))(jnp.asarray(left),
+                                        jnp.asarray(right)))
+    d_x = np.asarray(stereo.jitted_disparity(
+        base._replace(sgm_pallas=False))(jnp.asarray(left),
+                                         jnp.asarray(right)))
+    np.testing.assert_array_equal(d_p, d_x)
