@@ -1,0 +1,73 @@
+"""SGM backend A/B on the real TPU: Pallas VMEM-carry kernel vs lax.scan.
+
+In-process comparison (relay latency varies between processes); chained
+dispatch with a changing scalar arg (defeats identical-input result
+memoization) and ONE D2H fence per timed chain (the fence is the reliable
+completion barrier; block_until_ready can return early — CLAUDE.md).
+Prints ms/frame for the full disparity pipeline and the aggregation alone,
+for both backends, plus accuracy equality.
+
+Usage: python experiments/sgm_bench.py [iters]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def main(iters: int = 15):
+    import jax
+    import jax.numpy as jnp
+    import densesurfelmapping_tpu as dsm
+    from densesurfelmapping_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from densesurfelmapping_tpu.io import synthetic
+    from densesurfelmapping_tpu.models import stereo
+
+    cfg = dsm.kitti_config()
+    scene = synthetic.Scene(ground_y=1.5, wall_z=60.0,
+                            boxes=synthetic.default_scene().boxes,
+                            max_depth=29.0, texture="multisine")
+    lp = np.eye(4)
+    rp = np.eye(4)
+    rp[0, 3] = 0.54
+    li, _ = scene.render(cfg, lp)
+    ri, _ = scene.render(cfg, rp)
+    l, r = jnp.asarray(li), jnp.asarray(ri)
+
+    def timeit(name, fn):
+        chain = jax.jit(lambda l, r, prev, i: fn(l + 1e-3 * i
+                                                 + 1e-12 * prev, r))
+        out = chain(l, r, jnp.zeros_like(l), np.float32(0))
+        np.asarray(out)                      # fence after warmup/compile
+        t0 = time.perf_counter()
+        for k in range(iters):
+            out = chain(l, r, out, np.float32(k + 1))
+        np.asarray(out)                      # hard fence
+        dt = (time.perf_counter() - t0) / iters * 1e3
+        print(f"{name:28s} {dt:6.1f} ms", flush=True)
+        return out
+
+    outs = {}
+    for use_pallas in (True, False):
+        tag = "pallas" if use_pallas else "lax.scan"
+        scfg = stereo.StereoConfig(max_disparity=128, min_disparity=1,
+                                   radius=4, aggregation="sgm",
+                                   cost="census", sgm_paths=8,
+                                   sgm_pallas=use_pallas)
+        outs[tag] = np.asarray(stereo.jitted_disparity(scfg)(l, r))
+        timeit(f"sgm8 census full ({tag})", stereo.jitted_disparity(scfg))
+
+        def agg_only(a, b, up=use_pallas, sc=scfg):
+            vol = stereo._cost_volume(a, b, sc)
+            return stereo._sgm_aggregate(vol, sc.sgm_p1, sc.sgm_p2,
+                                         sc.sgm_paths, up)[:, :8, :8]
+        timeit(f"cost+aggregation ({tag})", agg_only)
+
+    same = np.array_equal(outs["pallas"], outs["lax.scan"])
+    print(f"disparity maps identical: {same}")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 15)
