@@ -425,6 +425,20 @@ class MultiSessionMapping:
         return export.save_mesh_ply(path, self.session_map_surfels(stream),
                                     binary=binary)
 
+    def save_trajectory(self, stream: int, path: str,
+                        fmt: str = "kitti") -> int:
+        """Per-session loop-corrected keyframe trajectory (same formats as
+        the solo drivers' save_trajectory)."""
+        from ..io import export
+        g = self.sessions[stream].graph
+        poses = [k.loop_pose for k in g.keyframes]
+        stamps = [k.stamp for k in g.keyframes]
+        if fmt == "kitti":
+            return export.save_trajectory_kitti(path, poses, stamps)
+        if fmt == "tum":
+            return export.save_trajectory_tum(path, poses, stamps)
+        raise ValueError(f"unknown trajectory format {fmt!r}")
+
     def session_metrics(self) -> List[Dict[str, float]]:
         """Per-session observability: throughput, drop counters, bank
         saturation (count/capacity), and surfels dropped on a full tail

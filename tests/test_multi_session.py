@@ -313,3 +313,21 @@ def test_stereo_fleet_flush_pad_is_noop():
     counts = np.asarray(multi.banks.count)
     assert counts[0] > 30        # real stereo frame fused
     assert counts[1] == 0        # padded session untouched
+
+
+def test_session_trajectory_export(tmp_path):
+    cfg = tiny_config(surfel_capacity=4096, compact_interval=1000)
+    multi = MultiSessionMapping(cfg, n_streams=1)
+    for i in range(3):
+        pose = np.eye(4)
+        pose[0, 3] = 0.25 * i
+        img, dep = render_plane(cfg, pose)
+        multi.feed_pose(0, float(i), pose, is_keyframe=True)
+        multi.feed_image(0, float(i), img)
+        multi.feed_depth(0, float(i), dep)
+        multi.step()
+    out = tmp_path / "s0.txt"
+    assert multi.save_trajectory(0, str(out)) == 3
+    rows = np.loadtxt(str(out))
+    assert rows.shape == (3, 12)
+    np.testing.assert_allclose(rows[1].reshape(3, 4)[0, 3], 0.25, atol=1e-8)
