@@ -46,9 +46,10 @@ class StereoConfig(NamedTuple):
     sgm_paths: int = 8            # 4 (h/v) or 8 (+ diagonals)
     # aggregation backend: the Pallas kernel keeps the DP carries VMEM-
     # resident (one grid pass per axis covers both orientations) — same
-    # math bitwise as the lax.scan path, minus its per-step dispatch
-    # overhead; off-TPU it runs in interpret mode (tests cross-check)
-    sgm_pallas: bool = True
+    # math bitwise as the lax.scan path.  Default OFF: measured 70 ms vs
+    # the scan path's 29 ms at KITTI size on v5e (grid-step overhead not
+    # yet understood; see experiments/sgm_bench.py) — flip when it wins.
+    sgm_pallas: bool = False
     # matching cost for the SGM volume: "sad" (box-aggregated abs diff) or
     # "census" (Hamming distance of 5x5 census transforms — radiometrically
     # robust, integer costs <= 24, the production SGM standard)

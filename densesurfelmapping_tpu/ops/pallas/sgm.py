@@ -58,25 +58,33 @@ def _dp_update(L_prev, cost, p1, p2):
     dp = pltpu.roll(L_prev, d - 1, axis=1)  # from d+1 (last lane <- pad)
     cand = jnp.minimum(jnp.minimum(L_prev, jnp.minimum(dm, dp) + p1),
                        lmin + p2)
-    return cost + cand - lmin
+    # grouping matters: cand - lmin FIRST, so an all-BIG carry (the
+    # scan-axis pad) contributes exactly 0 — (cost + BIG) - BIG would
+    # round the cost away at f32 ulp(1e9) = 64
+    return cost + (cand - lmin)
 
 
 @functools.lru_cache(maxsize=16)
 def _axis_call(L: int, R: int, D: int, n_real: int, rolls: tuple,
-               p1: float, p2: float, interpret: bool):
-    """pallas_call for one (L, R, D) axis scan; D == lane-padded width."""
+               p1: float, p2: float, t_blk: int, interpret: bool):
+    """pallas_call for one (L, R, D) axis scan; D == lane-padded width,
+    L a multiple of t_blk.  Each grid step moves ONE (t_blk, R, D) block
+    per orientation and advances the DP over its columns in VMEM —
+    per-step DMA latency amortizes over t_blk columns (the one-column
+    variant measured DMA-latency-bound at 1617 tiny blocks/frame)."""
     g = len(rolls)
+    n_blk = L // t_blk
 
     def kernel(vf_ref, vb_ref, of_ref, ob_ref, cf_ref, cb_ref):
-        t = pl.program_id(0)
+        b = pl.program_id(0)
 
-        @pl.when(t == 0)
+        @pl.when(b == 0)
         def _():
             cf_ref[...] = jnp.zeros_like(cf_ref)
             cb_ref[...] = jnp.zeros_like(cb_ref)
 
-        def advance(carry_ref, cost_ref, out_ref):
-            cost = cost_ref[0].astype(jnp.float32)       # (R, D)
+        def advance(carry_ref, cost_ref, out_ref, col):
+            cost = cost_ref[col].astype(jnp.float32)     # (R, D)
             total = None
             for k, roll in enumerate(rolls):
                 c = carry_ref[k]
@@ -96,25 +104,26 @@ def _axis_call(L: int, R: int, D: int, n_real: int, rolls: tuple,
                 nxt = _dp_update(c, cost, p1, p2)
                 carry_ref[k] = nxt
                 total = nxt if total is None else total + nxt
-            out_ref[0] = total.astype(jnp.bfloat16)
+            out_ref[col] = total.astype(jnp.bfloat16)
 
-        advance(cf_ref, vf_ref, of_ref)
-        advance(cb_ref, vb_ref, ob_ref)
+        for col in range(t_blk):
+            advance(cf_ref, vf_ref, of_ref, col)             # ascending
+            advance(cb_ref, vb_ref, ob_ref, t_blk - 1 - col)  # descending
 
-    blk = (1, R, D)
+    blk = (t_blk, R, D)
     return pl.pallas_call(
         kernel,
-        grid=(L,),
+        grid=(n_blk,),
         in_specs=[
-            pl.BlockSpec(blk, lambda t: (t, 0, 0),
+            pl.BlockSpec(blk, lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk, lambda t: (L - 1 - t, 0, 0),
+            pl.BlockSpec(blk, lambda b: (n_blk - 1 - b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec(blk, lambda t: (t, 0, 0),
+            pl.BlockSpec(blk, lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk, lambda t: (L - 1 - t, 0, 0),
+            pl.BlockSpec(blk, lambda b: (n_blk - 1 - b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -131,24 +140,30 @@ def _axis_call(L: int, R: int, D: int, n_real: int, rolls: tuple,
     )
 
 
-def axis_scan_pallas(v: jnp.ndarray, rolls, p1: float, p2: float
-                     ) -> jnp.ndarray:
+def axis_scan_pallas(v: jnp.ndarray, rolls, p1: float, p2: float,
+                     t_blk: int = 16) -> jnp.ndarray:
     """Drop-in replacement for `models/stereo._axis_scan`: sum of the
     2*len(rolls) SGM path responses along axis 0 of a (L, R, D) volume.
 
     Pads D to a full lane multiple with BIG cost (guaranteeing >= 1 pad
-    lane for the boundary wrap) and the row axis to the bf16 sublane
-    granule; both pads are sliced off again."""
+    lane for the boundary wrap), the row axis to the bf16 sublane
+    granule, and the scan axis to a t_blk multiple — tail pad columns
+    also carry BIG cost, which keeps the backward orientation's entry
+    into the real columns an EXACT restart: an all-BIG carry has
+    cand - Lmin == 0 on every lane, so L = C bitwise, same as a zero
+    carry.  All pads are sliced off again."""
     length, rows, dd = v.shape
     d_pad = _round_up(dd + 1, _LANES)
     # 16-row granule for bf16 tiling; pad rows carry BIG cost and are
     # sliced off (the kernel zeroes image-border carries explicitly)
     r_pad = _round_up(rows, 16)
-    vp = jnp.pad(v, ((0, 0), (0, r_pad - rows), (0, d_pad - dd)),
+    l_pad = _round_up(length, t_blk)
+    vp = jnp.pad(v, ((0, l_pad - length), (0, r_pad - rows),
+                     (0, d_pad - dd)),
                  constant_values=np.array(_BIG, v.dtype))
 
-    call = _axis_call(length, r_pad, d_pad, rows, tuple(rolls), float(p1),
-                      float(p2), _interpret())
+    call = _axis_call(l_pad, r_pad, d_pad, rows, tuple(rolls), float(p1),
+                      float(p2), int(t_blk), _interpret())
     out_f, out_b = call(vp, vp)
     out = out_f.astype(jnp.float32) + out_b.astype(jnp.float32)
-    return out[:, :rows, :dd]
+    return out[:length, :rows, :dd]

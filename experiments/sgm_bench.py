@@ -37,8 +37,9 @@ def main(iters: int = 15):
     l, r = jnp.asarray(li), jnp.asarray(ri)
 
     def timeit(name, fn):
-        chain = jax.jit(lambda l, r, prev, i: fn(l + 1e-3 * i
-                                                 + 1e-12 * prev, r))
+        # prev enters as a scalar so outputs of any shape can chain
+        chain = jax.jit(lambda l, r, prev, i: fn(
+            l + 1e-3 * i + 1e-12 * jnp.sum(prev).astype(l.dtype), r))
         out = chain(l, r, jnp.zeros_like(l), np.float32(0))
         np.asarray(out)                      # fence after warmup/compile
         t0 = time.perf_counter()
