@@ -307,6 +307,17 @@ def cmd_multi(args):
     return 0
 
 
+def cmd_diagnose(args):
+    """Print one JSON line of device-link health (dispatch latency, H2D
+    bandwidth, real fuse-step rate, block_until_ready trustworthiness).
+    Run it in its own process: the probes use readback fences."""
+    import json
+    from .utils.diagnostics import run_diagnostics
+
+    print(json.dumps(run_diagnostics(n_fuse=args.fuse_frames)))
+    return 0
+
+
 def cmd_stress(args):
     """seq-00-scale loop-closure stress run: thousands of frames at the
     reference's cadence (drifting pose estimates, keyframe-every-N, <=35
@@ -516,6 +527,12 @@ def main(argv=None):
                    help="serve raw stereo pairs: depth computed on-device "
                         "inside the batched fuse program (KITTI baseline)")
     p.set_defaults(fn=cmd_multi)
+
+    p = sub.add_parser("diagnose", help="device-link health probes "
+                                        "(dispatch latency, H2D bandwidth, "
+                                        "fuse-step rate) as one JSON line")
+    p.add_argument("--fuse-frames", type=int, default=15)
+    p.set_defaults(fn=cmd_diagnose)
 
     p = sub.add_parser("stress", help="seq-00-scale loop-closure stress run "
                                       "(drift, edge bursts, mid-run warp)")

@@ -1,0 +1,89 @@
+"""Device-link health diagnostics.
+
+The TPU in this deployment sits behind a shared relay whose character
+varies wildly (CLAUDE.md): dispatch latency 1-10 ms, H2D bandwidth from
+GB/s down to ~10 MB/s in degraded windows, and `block_until_ready` that
+can return before remote work completes.  These probes separate the three
+failure axes so operators (and the bench harness) can tell a framework
+regression from link weather:
+
+* dispatch_ms   — chained tiny jit calls, D2H-fenced: per-call round cost
+* h2d_mbps      — a frame-sized upload, fenced by a readback
+* fuse_ms       — the real packed fuse step, chained, fenced once
+* block_lies    — whether block_until_ready returned implausibly early
+
+All probes fence with a real `np.asarray` readback, so run them in a
+throwaway process: the first readback permanently degrades the current
+process's async dispatch mode.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict
+
+import numpy as np
+
+
+def run_diagnostics(n_fuse: int = 15) -> Dict[str, float]:
+    import jax
+    import jax.numpy as jnp
+    import densesurfelmapping_tpu as dsm
+    from .cache import enable_compilation_cache
+    enable_compilation_cache()
+    from ..core.state import SurfelBank, pack_frame
+    from ..pipeline.fuse_step import jitted_fuse_frame_packed
+    from ..io import synthetic
+
+    out: Dict[str, float] = {"backend": jax.default_backend()}
+
+    # 1) dispatch latency: tiny chained adds, one readback fence
+    f = jax.jit(lambda x: x + 1.0)
+    x = f(jnp.zeros(()))
+    np.asarray(x)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        x = f(x)
+    np.asarray(x)
+    out["dispatch_ms"] = round((time.perf_counter() - t0) / 20 * 1e3, 2)
+
+    # 2) H2D bandwidth: a frame-sized upload, readback-fenced
+    buf = np.random.randint(0, 255, size=(1 << 21,), dtype=np.uint8)  # 2 MB
+    d = jax.device_put(buf)
+    np.asarray(d[:4])
+    t0 = time.perf_counter()
+    d = jax.device_put(buf[::-1].copy())        # fresh content
+    np.asarray(d[:4])
+    dt = time.perf_counter() - t0
+    out["h2d_mbps"] = round(len(buf) / dt / 1e6, 1)
+
+    # 3) the real fuse step, chained (fresh upload per frame, like the
+    # online driver), one fence at the end
+    cfg = dsm.kitti_config(surfel_capacity=1 << 19)
+    scene = synthetic.default_scene()
+    poses = synthetic.forward_trajectory(n_fuse + 2, step=0.4)
+    bufs = [pack_frame(cfg, *scene.render(cfg, p)) for p in poses]
+    step = jitted_fuse_frame_packed(cfg)
+    bank = SurfelBank.empty(cfg.surfel_capacity)
+    for i in range(2):
+        bank, _ = step(bank, jnp.asarray(bufs[i]),
+                       jnp.asarray(poses[i].astype(np.float32)),
+                       jnp.int32(i))
+    jax.block_until_ready(bank.count)
+    t_soft0 = time.perf_counter()
+    for i in range(2, n_fuse + 2):
+        bank, _ = step(bank, jnp.asarray(bufs[i]),
+                       jnp.asarray(poses[i].astype(np.float32)),
+                       jnp.int32(i))
+    jax.block_until_ready(bank.count)
+    soft = time.perf_counter() - t_soft0
+    np.asarray(bank.count)
+    fenced = time.perf_counter() - t_soft0
+    out["fuse_ms"] = round(fenced / n_fuse * 1e3, 2)
+    out["block_lies"] = bool(soft < 0.5 * fenced)
+
+    # verdicts against the healthy-window envelope (CLAUDE.md)
+    out["healthy"] = bool(out["dispatch_ms"] < 10.0
+                          and out["h2d_mbps"] > 200.0
+                          and out["fuse_ms"] < 20.0)
+    return out

@@ -132,3 +132,12 @@ def test_cli_kitti_stereo_mode(tmp_path):
     ut = ckpt["bank_update_times"]
     wallish = np.abs(z[ut > 0] - 9.0) < 0.5
     assert wallish.mean() > 0.3
+
+
+def test_diagnose_subcommand_registered(capsys):
+    import pytest
+    from densesurfelmapping_tpu.cli import main
+    with pytest.raises(SystemExit) as e:
+        main(["diagnose", "--help"])
+    assert e.value.code == 0
+    assert "fuse-frames" in capsys.readouterr().out
