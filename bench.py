@@ -101,6 +101,21 @@ def main(n_frames: int = 60, warmup: int = 3):
     final_count = int(np.asarray(bank.count))
     fenced_fps = (n_segments * seg) / (time.perf_counter() - t_all0)
 
+    # link-health context (post-fence, so no extra dispatch-mode damage):
+    # lets a reader attribute a bad number to relay weather objectively
+    f_tiny = jax.jit(lambda x: x + 1.0)
+    x = f_tiny(jnp.zeros(()))
+    np.asarray(x)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        x = f_tiny(x)
+    np.asarray(x)
+    link_dispatch_ms = (time.perf_counter() - t0) / 10 * 1e3
+    probe = np.random.randint(0, 255, size=(1 << 21,), dtype=np.uint8)
+    t0 = time.perf_counter()
+    np.asarray(jax.device_put(probe)[:4])
+    link_h2d_mbps = len(probe) / (time.perf_counter() - t0) / 1e6
+
     fence_corrected = _median(seg_fps) > 1.5 * fenced_fps
     fps = fenced_fps if fence_corrected else _median(seg_fps)
     result = {
@@ -113,6 +128,8 @@ def main(n_frames: int = 60, warmup: int = 3):
         "segments": [round(f, 1) for f in seg_fps],
         "fenced_fps": round(fenced_fps, 2),
         "fence_corrected": fence_corrected,
+        "link_dispatch_ms": round(link_dispatch_ms, 2),
+        "link_h2d_mbps": round(link_h2d_mbps, 1),
     }
 
     attempt = int(os.environ.get("DSM_BENCH_ATTEMPT", "0"))
