@@ -189,6 +189,16 @@ class SurfelMapping:
         keyframe (defaults to the newest; a new keyframe references itself).
         """
         pose = np.array(pose, np.float64)
+        # failure detection the reference lacks (SURVEY.md §5): a NaN/Inf
+        # or non-rigid pose would silently poison the whole pose graph
+        # (every relative pose and warp derives from it) — drop it instead
+        if pose.shape != (4, 4) or not np.isfinite(pose).all():
+            self.dropped["invalid_pose"] += 1
+            return
+        det = np.linalg.det(pose[:3, :3])
+        if abs(det - 1.0) > 0.1:
+            self.dropped["invalid_pose"] += 1
+            return
         if self._kitti_alignment:
             if self._alignment is None:
                 self._alignment = geometry.kitti_alignment(pose)

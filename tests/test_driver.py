@@ -489,3 +489,23 @@ def test_packed_frame_path_matches_compact():
     assert int(b.count) == n
     np.testing.assert_array_equal(np.asarray(a.position[:n]),
                                   np.asarray(b.position[:n]))
+
+
+def test_invalid_poses_dropped():
+    """NaN/non-rigid poses are dropped with accounting instead of
+    poisoning the pose graph (failure detection, SURVEY.md §5)."""
+    cfg = tiny_config()
+    m = SurfelMapping(cfg)
+    bad_nan = np.eye(4)
+    bad_nan[0, 3] = np.nan
+    bad_scale = np.eye(4)
+    bad_scale[:3, :3] *= 2.0              # det = 8: not a rotation
+    img, dep = render_plane(cfg, np.eye(4))
+
+    m.feed_pose(0.0, bad_nan, is_keyframe=True)
+    m.feed_pose(0.0, bad_scale, is_keyframe=True)
+    assert m.dropped["invalid_pose"] == 2
+    assert len(m.graph) == 0
+
+    feed_frame(m, 1.0, np.eye(4), img, dep, is_keyframe=True)
+    assert m.frames_fused == 1
