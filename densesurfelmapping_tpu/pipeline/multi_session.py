@@ -177,6 +177,11 @@ class MultiSessionMapping:
                   reference_index: Optional[int] = None) -> None:
         s = self.sessions[stream]
         pose = np.array(pose, np.float64)
+        # same pose failure-detection as the solo driver (driver.py)
+        if pose.shape != (4, 4) or not np.isfinite(pose).all() \
+                or abs(np.linalg.det(pose[:3, :3]) - 1.0) > 0.1:
+            s.dropped["invalid_pose"] += 1
+            return
         if loop_path is not None and len(s.graph) > 0:
             if s.graph.update_loop_path(list(loop_path)):
                 warps, moved = s.graph.pose_warps()

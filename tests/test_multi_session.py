@@ -331,3 +331,13 @@ def test_session_trajectory_export(tmp_path):
     rows = np.loadtxt(str(out))
     assert rows.shape == (3, 12)
     np.testing.assert_allclose(rows[1].reshape(3, 4)[0, 3], 0.25, atol=1e-8)
+
+
+def test_invalid_pose_dropped_per_session():
+    cfg = tiny_config(surfel_capacity=4096)
+    multi = MultiSessionMapping(cfg, n_streams=1)
+    bad = np.eye(4)
+    bad[1, 3] = np.inf
+    multi.feed_pose(0, 0.0, bad, is_keyframe=True)
+    assert multi.sessions[0].dropped["invalid_pose"] == 1
+    assert len(multi.sessions[0].graph) == 0
