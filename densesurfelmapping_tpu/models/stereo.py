@@ -56,6 +56,11 @@ class StereoConfig(NamedTuple):
     cost: str = "census"
     census_radius: int = 2        # 5x5 -> 24 neighbor bits
     census_ceiling: float = 16.0  # per-path census cost gate (0..24)
+    # SGM uniqueness gate: the winner must beat every non-adjacent
+    # candidate by a margin (best < ratio * second), rejecting periodic-
+    # texture self-matches the LR check cannot catch (the classic SGBM
+    # uniquenessRatio).  0 disables.
+    uniqueness_ratio: float = 0.95
 
 
 def _box_filter(x: jnp.ndarray, r: int) -> jnp.ndarray:
@@ -293,6 +298,14 @@ def _disparity_sgm(left: jnp.ndarray, right: jnp.ndarray,
                 else cfg.cost_ceiling)
     ceiling = n_paths * (per_path + cfg.sgm_p2)
     valid = consistent & textured & (best <= ceiling) & (best < _SGM_BIG)
+
+    if cfg.uniqueness_ratio > 0:
+        # best must STRICTLY beat ratio * (min over candidates more than
+        # 1 disparity away) — exact ties (periodic self-similarity) fail
+        d_ids = jax.lax.broadcasted_iota(jnp.int32, agg.shape, 0)
+        far = jnp.abs(d_ids - idx[None]) > 1
+        second = jnp.min(jnp.where(far, agg, np.inf), axis=0)
+        valid = valid & (best < cfg.uniqueness_ratio * second)
     return jnp.where(valid, disp, 0.0)
 
 
@@ -371,7 +384,7 @@ def disparity(left: jnp.ndarray, right: jnp.ndarray,
     return jnp.where(valid, disp, 0.0)
 
 
-@functools.lru_cache(maxsize=4)
+@functools.lru_cache(maxsize=8)
 def jitted_disparity(config: StereoConfig = StereoConfig()):
     return jax.jit(functools.partial(disparity, config=config))
 

@@ -278,3 +278,51 @@ def test_pallas_sgm_disparity_matches_xla(stereo_pair):
         base._replace(sgm_pallas=False))(jnp.asarray(left),
                                          jnp.asarray(right)))
     np.testing.assert_array_equal(d_p, d_x)
+
+
+def test_disparity_gain_bias_invariance_census(stereo_pair):
+    """Census cost => global gain/bias on BOTH images leaves the SGM
+    disparity map unchanged."""
+    cfg, left, true_depth, right = stereo_pair
+    scfg = stereo.StereoConfig(max_disparity=64, min_disparity=1, radius=3,
+                               aggregation="sgm", cost="census",
+                               sgm_paths=8, texture_threshold=0.0)
+    fn = stereo.jitted_disparity(scfg)
+    a = np.asarray(fn(jnp.asarray(left), jnp.asarray(right)))
+    b = np.asarray(fn(jnp.asarray(left * 1.4 + 9.0),
+                      jnp.asarray(right * 1.4 + 9.0)))
+    # the (intensity-based) texture gate is disabled above, so the only
+    # image-dependent pieces are census costs — order-invariant
+    np.testing.assert_array_equal(a, b)
+
+
+def test_uniqueness_gate_monotone(stereo_pair):
+    """The uniqueness gate only ever removes matches (tightening the
+    ratio shrinks the valid set), never changes surviving values, and the
+    survivors' accuracy does not degrade."""
+    cfg, left, true_depth, right = stereo_pair
+    base = stereo.StereoConfig(max_disparity=64, min_disparity=1, radius=3,
+                               aggregation="sgm", cost="census",
+                               sgm_paths=8)
+    maps = {}
+    for ratio in (0.0, 0.95, 0.5):
+        maps[ratio] = np.asarray(stereo.jitted_disparity(
+            base._replace(uniqueness_ratio=ratio))(
+            jnp.asarray(left), jnp.asarray(right)))
+    v0, v95, v50 = [(maps[r] > 0) for r in (0.0, 0.95, 0.5)]
+    assert v50.sum() <= v95.sum() <= v0.sum()
+    assert v50.sum() < v0.sum()           # a 0.5 ratio must bite
+    # survivors keep their values
+    for r in (0.95, 0.5):
+        sel = maps[r] > 0
+        np.testing.assert_array_equal(maps[r][sel], maps[0.0][sel])
+
+    true_disp = np.where(true_depth > 0,
+                         CAM.fx * BASELINE / np.maximum(true_depth, 1e-6),
+                         0.0)
+    in_range = (true_disp >= 2.0) & (true_disp < 63.0)
+
+    def med(d):
+        sel = (d > 0) & in_range
+        return np.median(np.abs(d[sel] - true_disp[sel]))
+    assert med(maps[0.95]) <= med(maps[0.0]) + 0.02
