@@ -25,6 +25,20 @@ Semantics match `models/stereo._axis_scan` bitwise: f32 carries, per-step
 renormalization by -Lmin, bf16 per-orientation outputs.  Mirrors the
 8-path aggregation of classic SGM replacing the reference's offline
 PSMNet disparity (`kitti_publisher/scripts/publisher.py:36-41`).
+
+STATUS (round 2): bitwise-correct on real TPU (disparity maps identical
+to the scan backend) and fast in isolation — 5.5 ms (x axis) + 8.0 ms
+(y axis) vs ~20 ms for the four lax.scans — but the FULL pipeline with
+this backend measures 66-80 ms vs 29 ms, because XLA materializes ~15
+full-volume f32 temporaries around the opaque custom calls
+(cost_analysis: 38 GB accessed / 15.4 GB peak temp vs 7.6 GB / 1.2 GB
+for the scan path, which fuses the 127-plane cost volume away entirely).
+The kernel-side roofline (~2 GB) beats the scan path, so the win is
+real once the surrounding graph is tamed — candidate next steps: build
+the cost volume inside the kernel (manual HBM DMA windows over the
+census images), f32 outputs to kill the cast copies, or a single fused
+kernel covering both axes.  Until then `StereoConfig.sgm_pallas`
+defaults off.
 """
 
 from __future__ import annotations
