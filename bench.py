@@ -103,18 +103,9 @@ def main(n_frames: int = 60, warmup: int = 3):
 
     # link-health context (post-fence, so no extra dispatch-mode damage):
     # lets a reader attribute a bad number to relay weather objectively
-    f_tiny = jax.jit(lambda x: x + 1.0)
-    x = f_tiny(jnp.zeros(()))
-    np.asarray(x)
-    t0 = time.perf_counter()
-    for _ in range(10):
-        x = f_tiny(x)
-    np.asarray(x)
-    link_dispatch_ms = (time.perf_counter() - t0) / 10 * 1e3
-    probe = np.random.randint(0, 255, size=(1 << 21,), dtype=np.uint8)
-    t0 = time.perf_counter()
-    np.asarray(jax.device_put(probe)[:4])
-    link_h2d_mbps = len(probe) / (time.perf_counter() - t0) / 1e6
+    from densesurfelmapping_tpu.utils import diagnostics
+    link_dispatch_ms = diagnostics.probe_dispatch_ms(iters=10)
+    link_h2d_mbps = diagnostics.probe_h2d_mbps()
 
     fence_corrected = _median(seg_fps) > 1.5 * fenced_fps
     fps = fenced_fps if fence_corrected else _median(seg_fps)

@@ -134,7 +134,13 @@ def _publish(mapping, cfg, args, frame_index: int) -> None:
 def _maybe_publish(mapping, cfg, args, i) -> None:
     every = getattr(args, "publish_every", 0)
     if every and args.out and mapping.frames_fused > 0 \
-            and mapping.frames_fused % every == 0:
+            and mapping.frames_fused % every == 0 \
+            and mapping.frames_fused != getattr(mapping,
+                                                "_last_published", -1):
+        # remember the count: if frames stall at a multiple of N (dropped
+        # pose, lagging stamps), re-running the export every input frame
+        # would hammer the hot loop with D2H readbacks
+        mapping._last_published = mapping.frames_fused
         _publish(mapping, cfg, args, i)
 
 

@@ -163,12 +163,15 @@ def make_seq00_like(n_frames: int = 2000, keyframe_every: int = 2,
 
 
 def run_feed(mapping, seq: StressSequence, config,
-             n_frames: Optional[int] = None) -> None:
+             n_frames: Optional[int] = None, frames=None) -> None:
     """Replay the sequence through a driver's feed_* API (frames rendered
-    from ground truth, poses from the drifting estimate)."""
+    from ground truth, poses from the drifting estimate).  Pass
+    pre-rendered `frames` [(img, dep), ...] to share renders across
+    several drivers (the loop-stress tests do)."""
     msgs = seq.feed.messages[:n_frames]
     for i, m in enumerate(msgs):
-        img, dep = seq.scene.render(config, seq.gt_poses[i])
+        img, dep = (frames[i] if frames is not None
+                    else seq.scene.render(config, seq.gt_poses[i]))
         mapping.feed_pose(m.stamp, m.pose, loop_path=m.loop_path,
                           loop_edges=m.loop_edges, is_keyframe=m.is_keyframe,
                           reference_index=m.reference_index)

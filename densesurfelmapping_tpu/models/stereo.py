@@ -100,6 +100,11 @@ _SGM_BIG = 1e4   # finite out-of-range cost (SGM adds bounded penalties)
 def _census(img: jnp.ndarray, r: int) -> jnp.ndarray:
     """(H, W) uint32 census transform: bit k set iff neighbor k < center
     over the (2r+1)^2-1 neighborhood (r=2 -> 24 bits)."""
+    bits = (2 * r + 1) ** 2 - 1
+    if bits > 32:
+        raise ValueError(
+            f"census_radius={r} needs {bits} bits; the uint32 transform "
+            f"supports radius <= 2 (24 bits)")
     h, w = img.shape
     p = jnp.pad(img, r, mode="edge")
     out = jnp.zeros((h, w), jnp.uint32)

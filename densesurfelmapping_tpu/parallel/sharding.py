@@ -173,6 +173,90 @@ def sharded_fuse_frame_windowed_packed(config: SurfelMapConfig, mesh: Mesh):
 
 
 @functools.lru_cache(maxsize=4)
+def sharded_fuse_frame_stereo_windowed_packed(config: SurfelMapConfig,
+                                              stereo_config,
+                                              filter_depth: bool,
+                                              mesh: Mesh):
+    """Stereo-resident windowed fuse over the mesh: the on-device stereo
+    front-end (`fuse_step.compute_depth_stereo`) runs replicated per
+    surfel shard (same policy as the superpixel stage — image-sized work
+    is cheap next to a cross-shard broadcast of depth), then the sharded
+    windowed fuse.
+
+    Call: (banks, bufs (B, 2HW) u8, poses (B,4,4), refs (B,), bfs (B,)
+    f32, masks (B, max_keyframes)) -> (banks, stats)."""
+    from ..pipeline.fuse_step import unpack_stereo, compute_depth_stereo
+    n_surfel = mesh.shape["surfel"]
+    ph, pw = config.padded_height, config.padded_width
+    oh, ow = config.height, config.width
+
+    def per_stream(bank, buf, pose, ref, bf, mask):
+        left, right = unpack_stereo(config, buf)
+        depth = compute_depth_stereo(config, stereo_config, left, right,
+                                     bf, filter_depth)
+        img = jnp.pad(left, ((0, ph - oh), (0, pw - ow)))
+        dep = jnp.pad(depth, ((0, ph - oh), (0, pw - ow)))
+        frame = FrameInput(image=img, depth=dep, pose=pose,
+                           frame_index=ref)
+        return _fuse_shard(config, bank, frame, n_surfel, pose_mask=mask)
+
+    def stepper(banks, bufs, poses, refs, bfs, masks):
+        banks = banks.replace(count=banks.count[:, 0])
+        banks, stats = jax.vmap(per_stream)(banks, bufs, poses, refs,
+                                            bfs, masks)
+        banks = banks.replace(count=banks.count[:, None])
+        return banks, stats
+
+    bank_spec = _bank_pspec()
+    stats_spec = {k: P("data") for k in
+                  ("n_live", "n_new", "n_dropped", "n_fused_seeds")}
+    mapped = jax.shard_map(
+        stepper, mesh=mesh,
+        in_specs=(bank_spec, P("data"), P("data"), P("data"), P("data"),
+                  P("data")),
+        out_specs=(bank_spec, stats_spec))
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=4)
+def sharded_fuse_frame_stereo(config: SurfelMapConfig, stereo_config,
+                              filter_depth: bool, mesh: Mesh):
+    """Stereo-resident fuse (no window mask) for the host-pool sharded
+    driver; same replicated front-end as the windowed variant.
+
+    Call: (banks, bufs (B, 2HW) u8, poses, refs, bfs) -> (banks, stats)."""
+    from ..pipeline.fuse_step import unpack_stereo, compute_depth_stereo
+    n_surfel = mesh.shape["surfel"]
+    ph, pw = config.padded_height, config.padded_width
+    oh, ow = config.height, config.width
+
+    def per_stream(bank, buf, pose, ref, bf):
+        left, right = unpack_stereo(config, buf)
+        depth = compute_depth_stereo(config, stereo_config, left, right,
+                                     bf, filter_depth)
+        img = jnp.pad(left, ((0, ph - oh), (0, pw - ow)))
+        dep = jnp.pad(depth, ((0, ph - oh), (0, pw - ow)))
+        frame = FrameInput(image=img, depth=dep, pose=pose,
+                           frame_index=ref)
+        return _fuse_shard(config, bank, frame, n_surfel)
+
+    def stepper(banks, bufs, poses, refs, bfs):
+        banks = banks.replace(count=banks.count[:, 0])
+        banks, stats = jax.vmap(per_stream)(banks, bufs, poses, refs, bfs)
+        banks = banks.replace(count=banks.count[:, None])
+        return banks, stats
+
+    bank_spec = _bank_pspec()
+    stats_spec = {k: P("data") for k in
+                  ("n_live", "n_new", "n_dropped", "n_fused_seeds")}
+    mapped = jax.shard_map(
+        stepper, mesh=mesh,
+        in_specs=(bank_spec, P("data"), P("data"), P("data"), P("data")),
+        out_specs=(bank_spec, stats_spec))
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=4)
 def sharded_warp_by_pose(config: SurfelMapConfig, mesh: Mesh):
     """Whole-bank per-pose loop warp over the mesh (the sharded
     `ops.warp.warp_bank_by_pose`): warps/moved/mask/first replicated over

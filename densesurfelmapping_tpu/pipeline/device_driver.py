@@ -78,6 +78,11 @@ class DeviceResidentMapping(SurfelMapping):
         while new_p < len(self.graph):
             new_p *= 2
         self.config = dataclasses.replace(self.config, max_keyframes=new_p)
+        # grow the live mask too: a loop warp can arrive before the next
+        # _move_add_surfels rebuilds it at the new length
+        w = np.zeros(new_p, bool)
+        w[:len(self._window_np)] = self._window_np
+        self._window_np = w
         self._build_window_jits()
 
     # ------------------------------------------------------------------
@@ -123,6 +128,10 @@ class DeviceResidentMapping(SurfelMapping):
     # loop warp: one whole-bank device pass
     # ------------------------------------------------------------------
     def _warp_surfels(self) -> None:
+        # poses can run ahead of fused frames (the reference publishes
+        # loop_path every frame), so capacity may need to grow HERE, not
+        # just on the fuse path
+        self._ensure_keyframe_capacity()
         warps, moved = self.graph.pose_warps()
         P = self.config.max_keyframes
         wstack = np.tile(np.eye(4, dtype=np.float32), (P, 1, 1))
@@ -262,17 +271,30 @@ class ShardedDeviceResidentMapping(DeviceResidentMapping):
         self._scompact = sharding.sharded_compact(self.config, self.mesh)
         self._swarp = sharding.sharded_warp_by_pose(self.config, self.mesh)
 
+    def _build_stereo_jit(self) -> None:
+        from ..parallel import sharding
+        self._stereo_fuse = \
+            sharding.sharded_fuse_frame_stereo_windowed_packed(
+                self.config, self._stereo_cfg, self._stereo_filter,
+                self.mesh)
+
     def _fuse_frame(self, image, depth, pose, ref_index: int) -> None:
         # same compact single-buffer encoding as the dense driver: sharded
         # and single-device runs see bit-identical frames, and each frame
         # rides to the mesh as one u8 buffer (2.7x less H2D than 2x f32)
         from ..core.state import pack_frame
-        buf = pack_frame(self.config, image, depth)
-        self.bank, stats = self._sfuse_wp(
-            self.bank, jnp.asarray(buf[None]),
-            jnp.asarray(np.asarray(pose, np.float32).reshape(1, 4, 4)),
-            jnp.full((1,), ref_index, jnp.int32),
-            jnp.asarray(self._window_np[None]))
+        from .driver import _StereoPair
+        pose_dev = jnp.asarray(np.asarray(pose, np.float32).reshape(1, 4, 4))
+        refs = jnp.full((1,), ref_index, jnp.int32)
+        masks = jnp.asarray(self._window_np[None])
+        if isinstance(depth, _StereoPair):
+            self.bank, stats = self._stereo_fuse(
+                self.bank, jnp.asarray(depth.buf[None]), pose_dev, refs,
+                jnp.full((1,), self._stereo_bf, jnp.float32), masks)
+        else:
+            buf = pack_frame(self.config, image, depth)
+            self.bank, stats = self._sfuse_wp(
+                self.bank, jnp.asarray(buf[None]), pose_dev, refs, masks)
         self._stats_dev = stats
         self._host_rows = None
         self.frames_fused += 1
@@ -289,6 +311,7 @@ class ShardedDeviceResidentMapping(DeviceResidentMapping):
         return self.bank.position.shape[1]
 
     def _warp_surfels(self) -> None:
+        self._ensure_keyframe_capacity()
         warps, moved = self.graph.pose_warps()
         P = self.config.max_keyframes
         wstack = np.tile(np.eye(4, dtype=np.float32), (1, P, 1, 1))

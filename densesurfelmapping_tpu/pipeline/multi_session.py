@@ -342,6 +342,7 @@ class MultiSessionMapping:
     def _flush_warps(self) -> None:
         """Apply pending loop-closure warps for every session in one
         batched device pass (identity for sessions without one)."""
+        self._ensure_keyframe_capacity()    # warps can outrun fuses
         P = self.config.max_keyframes
         wstack = np.tile(np.eye(4, dtype=np.float32),
                          (self.n_streams, P, 1, 1))
@@ -509,6 +510,10 @@ class MultiSessionMapping:
             host[:n] = z[f"bank_{key}"]
             return a.at[stream].set(jnp.asarray(host))
 
-        upd = {k: put(getattr(self.banks, k), k, 0) for k in FIELDS}
+        # dead rows must match SurfelBank.empty (last_update = -1, not 0:
+        # 0 means "owned by keyframe 0" to the window-mask gating)
+        fills = {"last_update": -1}
+        upd = {k: put(getattr(self.banks, k), k, fills.get(k, 0))
+               for k in FIELDS}
         upd["count"] = self.banks.count.at[stream].set(n)
         self.banks = self.banks.replace(**upd)

@@ -103,7 +103,20 @@ class ShardedSurfelMapping(SurfelMapping):
     # ------------------------------------------------------------------
     # device seams
     # ------------------------------------------------------------------
+    def _build_stereo_jit(self) -> None:
+        self._stereo_fuse = sharding.sharded_fuse_frame_stereo(
+            self.config, self._stereo_cfg, self._stereo_filter, self.mesh)
+
     def _fuse_frame(self, image, depth, pose, ref_index: int) -> None:
+        from .driver import _StereoPair
+        if isinstance(depth, _StereoPair):
+            self.bank, stats = self._stereo_fuse(
+                self.bank, jnp.asarray(depth.buf[None]),
+                jnp.asarray(np.asarray(pose, np.float32)[None]),
+                jnp.full((1,), ref_index, jnp.int32),
+                jnp.full((1,), self._stereo_bf, jnp.float32))
+            self._fuse_epilogue(stats)
+            return
         pi, pd = pad_frame(self.config, np.asarray(image, np.float32),
                            np.asarray(depth, np.float32))
         frames = FrameInput(
@@ -112,11 +125,7 @@ class ShardedSurfelMapping(SurfelMapping):
             frame_index=jnp.full((1,), ref_index, jnp.int32))
         frames = sharding.shard_frames(self.mesh, frames)
         self.bank, stats = self._sfuse(self.bank, frames)
-        self._stats_dev = stats
-        self.frames_fused += 1
-        if self.frames_fused % self.config.stats_interval == 0:
-            self.sync_stats()
-            self._maybe_compact()
+        self._fuse_epilogue(stats)
 
     def sync_stats(self) -> Dict[str, int]:
         if self._stats_dev:

@@ -37,9 +37,12 @@ def enable_compilation_cache(path: str | None = None) -> str:
 # compile and this process): the fix is to drop the cache and recompile, not
 # to retry the same load.
 _STALE_CACHE_MARKERS = (
+    # deliberately narrow: XLA/gRPC uses FAILED_PRECONDITION for plenty of
+    # transient relay conditions, and wiping the cache costs every program
+    # a 40-500 s remote recompile — only fire on wordings that point at
+    # the cached executable itself
     "libtpu version mismatch",
-    "version mismatch",
-    "FAILED_PRECONDITION",
+    "compiled with a different version",
     "deserializ",  # Deserialization failures of cached executables
     "incompatible serialized executable",
 )

@@ -25,6 +25,37 @@ from typing import Dict
 import numpy as np
 
 
+def probe_dispatch_ms(iters: int = 20) -> float:
+    """Per-call cost of a chained tiny jit, D2H-fenced.  NOTE: the fence
+    degrades the current process's async dispatch mode — probe in a
+    throwaway process or after measurements."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = f(jnp.zeros(()))
+    np.asarray(x)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = f(x)
+    np.asarray(x)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def probe_h2d_mbps(n_bytes: int = 1 << 21) -> float:
+    """Effective host->device bandwidth of one fresh frame-sized upload,
+    fenced by a readback.  Same caveat as probe_dispatch_ms."""
+    import jax
+
+    buf = np.random.randint(0, 255, size=(n_bytes,), dtype=np.uint8)
+    d = jax.device_put(buf)
+    np.asarray(d[:4])                       # warm the slice program
+    t0 = time.perf_counter()
+    d = jax.device_put(buf[::-1].copy())    # fresh content
+    np.asarray(d[:4])
+    return n_bytes / (time.perf_counter() - t0) / 1e6
+
+
 def run_diagnostics(n_fuse: int = 15) -> Dict[str, float]:
     import jax
     import jax.numpy as jnp
@@ -36,26 +67,8 @@ def run_diagnostics(n_fuse: int = 15) -> Dict[str, float]:
     from ..io import synthetic
 
     out: Dict[str, float] = {"backend": jax.default_backend()}
-
-    # 1) dispatch latency: tiny chained adds, one readback fence
-    f = jax.jit(lambda x: x + 1.0)
-    x = f(jnp.zeros(()))
-    np.asarray(x)
-    t0 = time.perf_counter()
-    for _ in range(20):
-        x = f(x)
-    np.asarray(x)
-    out["dispatch_ms"] = round((time.perf_counter() - t0) / 20 * 1e3, 2)
-
-    # 2) H2D bandwidth: a frame-sized upload, readback-fenced
-    buf = np.random.randint(0, 255, size=(1 << 21,), dtype=np.uint8)  # 2 MB
-    d = jax.device_put(buf)
-    np.asarray(d[:4])
-    t0 = time.perf_counter()
-    d = jax.device_put(buf[::-1].copy())        # fresh content
-    np.asarray(d[:4])
-    dt = time.perf_counter() - t0
-    out["h2d_mbps"] = round(len(buf) / dt / 1e6, 1)
+    out["dispatch_ms"] = round(probe_dispatch_ms(), 2)
+    out["h2d_mbps"] = round(probe_h2d_mbps(), 1)
 
     # 3) the real fuse step, chained (fresh upload per frame, like the
     # online driver), one fence at the end

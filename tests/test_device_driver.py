@@ -117,3 +117,33 @@ def test_keyframe_capacity_grows():
         m2.load_checkpoint(path)
         assert m2.config.max_keyframes >= 10
         assert m2.local_indices == ms.local_indices
+
+
+def test_warp_grows_keyframe_capacity():
+    """A loop_path arriving after the pose graph outgrew max_keyframes
+    (poses can run ahead of fused frames) must grow capacity on the WARP
+    path instead of crashing on the stack build."""
+    from densesurfelmapping_tpu.pipeline.device_driver import \
+        DeviceResidentMapping
+    from test_driver import tiny_config, render_plane, feed_frame
+
+    cfg = tiny_config(max_keyframes=4)
+    m = DeviceResidentMapping(cfg)
+    img, dep = render_plane(cfg, np.eye(4))
+    feed_frame(m, 0.0, np.eye(4), img, dep, is_keyframe=True)
+    # poses only: the graph outgrows the 4-entry window mask
+    for i in range(1, 7):
+        pose = np.eye(4)
+        pose[0, 3] = 0.3 * i
+        m.feed_pose(float(i), pose, is_keyframe=True)
+    assert len(m.graph) == 7 > 4
+    # correction arrives BEFORE any further fuse: previously a broadcast
+    # ValueError in _warp_surfels
+    shift = np.eye(4)
+    shift[1, 3] = 0.25
+    loop_path = [shift @ kf.cam_pose for kf in m.graph.keyframes]
+    m.feed_pose(7.0, shift @ m.graph.keyframes[-1].cam_pose,
+                loop_path=loop_path)
+    assert m.config.max_keyframes >= 7
+    assert len(m._window_np) == m.config.max_keyframes
+    assert not np.isnan(np.asarray(m.bank.position)).any()

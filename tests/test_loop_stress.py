@@ -44,13 +44,7 @@ def frames(seq, cfg):
 
 
 def replay(mapping, seq, frames):
-    for i, m in enumerate(seq.feed.messages):
-        img, dep = frames[i]
-        mapping.feed_pose(m.stamp, m.pose, loop_path=m.loop_path,
-                          loop_edges=m.loop_edges, is_keyframe=m.is_keyframe,
-                          reference_index=m.reference_index)
-        mapping.feed_image(m.stamp, img)
-        mapping.feed_depth(m.stamp, dep)
+    stressfeed.run_feed(mapping, seq, None, frames=frames)
     return mapping
 
 

@@ -341,3 +341,25 @@ def test_invalid_pose_dropped_per_session():
     multi.feed_pose(0, 0.0, bad, is_keyframe=True)
     assert multi.sessions[0].dropped["invalid_pose"] == 1
     assert len(multi.sessions[0].graph) == 0
+
+
+def test_checkpoint_restore_dead_rows_match_empty(tmp_path):
+    """Restored dead rows must carry SurfelBank.empty defaults
+    (last_update = -1, not 0 == 'owned by keyframe 0')."""
+    cfg = tiny_config(surfel_capacity=4096, compact_interval=1000)
+    multi = MultiSessionMapping(cfg, n_streams=1)
+    pose = np.eye(4)
+    img, dep = render_plane(cfg, pose)
+    multi.feed_pose(0, 0.0, pose, is_keyframe=True)
+    multi.feed_image(0, 0.0, img)
+    multi.feed_depth(0, 0.0, dep)
+    multi.step()
+    p = tmp_path / "s.npz"
+    multi.save_checkpoint(0, str(p))
+
+    fresh = MultiSessionMapping(cfg, n_streams=1)
+    fresh.load_checkpoint(0, str(p))
+    n = int(np.asarray(fresh.banks.count[0]))
+    lu = np.asarray(fresh.banks.last_update[0])
+    assert n > 0
+    assert (lu[n:] == -1).all()

@@ -158,3 +158,53 @@ def test_sharded_host_pool_checkpoint_roundtrip(tmp_path):
     img, dep = render_plane(cfg, pose)
     feed_frame(m2, 8.0, pose, img, dep, is_keyframe=True)
     assert m2.frames_fused == m.frames_fused + 1
+
+
+@needs_mesh
+def test_sharded_stereo_matches_dense_stereo():
+    """Both sharded drivers support the stereo-resident path and agree
+    with the dense stereo driver on the final map."""
+    from densesurfelmapping_tpu.config import SurfelMapConfig, \
+        CameraIntrinsics
+    from densesurfelmapping_tpu.io import synthetic
+    from densesurfelmapping_tpu.models.stereo import StereoConfig
+    from densesurfelmapping_tpu.pipeline.device_driver import (
+        DeviceResidentMapping, ShardedDeviceResidentMapping)
+
+    cam = CameraIntrinsics(width=120, height=56, fx=80.0, fy=80.0,
+                           cx=59.5, cy=27.5)
+    cfg = SurfelMapConfig(camera=cam, surfel_capacity=8192, lane_align=8,
+                          drift_free_poses=3)
+    scene = synthetic.Scene(ground_y=1.5, wall_z=18.0,
+                            boxes=synthetic.default_scene().boxes,
+                            max_depth=25.0, texture="multisine")
+    scfg = StereoConfig(max_disparity=64, min_disparity=1, radius=3)
+    bf = cam.fx * 0.5
+
+    mesh = sharding.make_mesh(len(jax.devices()), data=1)
+    drivers = {
+        "dense": DeviceResidentMapping(cfg),
+        "sharded_dev": ShardedDeviceResidentMapping(cfg, mesh),
+        "sharded_pool": ShardedSurfelMapping(cfg, mesh),
+    }
+    for m in drivers.values():
+        m.enable_stereo(bf=bf, stereo_config=scfg)
+        for i in range(4):
+            pose = np.eye(4)
+            pose[0, 3] = 0.2 * i
+            rp = pose.copy()
+            rp[:3, 3] += rp[:3, 0] * 0.5
+            li, _ = scene.render(cfg, pose)
+            ri, _ = scene.render(cfg, rp)
+            m.feed_pose(float(i), pose, is_keyframe=True)
+            m.feed_stereo(float(i), li, ri)
+        assert m.frames_fused == 4
+
+    a = sorted_rows({k: np.asarray(v) for k, v in
+                     drivers["dense"].map_surfels().items()})
+    for name in ("sharded_dev", "sharded_pool"):
+        b = sorted_rows({k: np.asarray(v) for k, v in
+                         drivers[name].map_surfels().items()})
+        assert len(b["position"]) == len(a["position"]), name
+        np.testing.assert_allclose(a["position"], b["position"],
+                                   atol=1e-4, err_msg=name)

@@ -326,3 +326,8 @@ def test_uniqueness_gate_monotone(stereo_pair):
         sel = (d > 0) & in_range
         return np.median(np.abs(d[sel] - true_disp[sel]))
     assert med(maps[0.95]) <= med(maps[0.0]) + 0.02
+
+
+def test_census_radius_bound():
+    with pytest.raises(ValueError, match="radius"):
+        stereo._census(jnp.zeros((8, 8)), 3)

@@ -47,3 +47,20 @@ def test_enable_cache_idempotent(tmp_path, monkeypatch):
     a = cache.enable_compilation_cache()
     b = cache.enable_compilation_cache()
     assert a == b and os.path.isdir(a)
+
+
+def test_plain_failed_precondition_does_not_wipe(tmp_path, monkeypatch):
+    """FAILED_PRECONDITION alone is a common transient relay status; only
+    wordings that implicate the cached executable may clear the cache
+    (a wipe costs every program a 40-500 s remote recompile)."""
+    import jax
+
+    d = str(tmp_path / "jc")
+    monkeypatch.setenv("DSM_CACHE_DIR", d)
+    path = cache.enable_compilation_cache()
+    marker = os.path.join(path, "keep.bin")
+    with open(marker, "wb") as f:
+        f.write(b"x")
+    err = RuntimeError("FAILED_PRECONDITION: donated buffer was reused")
+    assert not cache.maybe_clear_stale_cache(err)
+    assert os.path.exists(marker)
