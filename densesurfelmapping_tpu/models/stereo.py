@@ -45,11 +45,11 @@ class StereoConfig(NamedTuple):
     sgm_p2: float = 8.0
     sgm_paths: int = 8            # 4 (h/v) or 8 (+ diagonals)
     # aggregation backend: the Pallas kernel keeps the DP carries VMEM-
-    # resident (one grid pass per axis covers both orientations) — same
-    # math bitwise as the lax.scan path.  Default OFF: measured 70 ms vs
-    # the scan path's 29 ms at KITTI size on v5e (grid-step overhead not
-    # yet understood; see experiments/sgm_bench.py) — flip when it wins.
-    sgm_pallas: bool = False
+    # resident (one grid pass per axis covers both orientations), fed by
+    # the scan-built cost volume (_cost_volume_scan) — bitwise-equal to
+    # the lax.scan path and measured 21.8 vs 29.5 ms at KITTI size on
+    # v5e (experiments/sgm_bench.py); off-TPU it runs in interpret mode
+    sgm_pallas: bool = True
     # matching cost for the SGM volume: "sad" (box-aggregated abs diff) or
     # "census" (Hamming distance of 5x5 census transforms — radiometrically
     # robust, integer costs <= 24, the production SGM standard)
@@ -147,6 +147,45 @@ def _cost_volume(left: jnp.ndarray, right: jnp.ndarray,
         c = _box_filter(ad, cfg.radius)
         costs.append(jnp.where(xcoord >= d, c, _SGM_BIG).astype(jnp.bfloat16))
     return jnp.stack(costs)
+
+
+def _cost_volume_scan(left: jnp.ndarray, right: jnp.ndarray,
+                      cfg: StereoConfig) -> jnp.ndarray:
+    """Same (D', H, W) volume as `_cost_volume` but built by a lax.scan
+    over d writing ONE incremental buffer.
+
+    Used by the Pallas aggregation backend: its custom calls need a
+    MATERIALIZED operand, and XLA lowers the 127-way `jnp.stack` feeding
+    one into a chain of growing copies — 38 GB accessed / 15.4 GB peak
+    temp for the full pipeline vs 7.4 GB / 0.9 GB with this builder
+    (`compiled.cost_analysis()`; outputs identical).  The lax.scan
+    aggregation backend keeps `_cost_volume`: there XLA fuses the stack
+    into the scans so the volume never materializes at all."""
+    h, w = left.shape
+    xcoord = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    ds = jnp.arange(cfg.min_disparity, cfg.max_disparity)
+    if cfg.cost == "census":
+        cl = _census(left, cfg.census_radius)
+        cr = _census(right, cfg.census_radius)
+        crp = jnp.pad(cr, ((0, 0), (cfg.max_disparity, 0)), mode="edge")
+
+        def step(carry, d):
+            crd = jax.lax.dynamic_slice(
+                crp, (0, cfg.max_disparity - d), (h, w))
+            c = jax.lax.population_count(cl ^ crd).astype(jnp.bfloat16)
+            return carry, jnp.where(xcoord >= d, c,
+                                    jnp.bfloat16(_SGM_BIG))
+
+        return jax.lax.scan(step, 0, ds)[1]
+
+    rp = jnp.pad(right, ((0, 0), (cfg.max_disparity, 0)), mode="edge")
+
+    def step(carry, d):
+        rd = jax.lax.dynamic_slice(rp, (0, cfg.max_disparity - d), (h, w))
+        c = _box_filter(jnp.abs(left - rd), cfg.radius)
+        return carry, jnp.where(xcoord >= d, c, _SGM_BIG).astype(jnp.bfloat16)
+
+    return jax.lax.scan(step, 0, ds)[1]
 
 
 def _sgm_dp(L_prev: jnp.ndarray, c: jnp.ndarray, p1: float,
@@ -248,7 +287,8 @@ def _disparity_sgm(left: jnp.ndarray, right: jnp.ndarray,
     the same sub-pixel / LR-consistency / texture gates as the box path."""
     h, w = left.shape
     n_paths = float(cfg.sgm_paths)
-    vol = _cost_volume(left, right, cfg)
+    vol = (_cost_volume_scan if cfg.sgm_pallas
+           else _cost_volume)(left, right, cfg)
     agg = _sgm_aggregate(vol, cfg.sgm_p1, cfg.sgm_p2, cfg.sgm_paths,
                          cfg.sgm_pallas)
     D = agg.shape[0]

@@ -26,19 +26,16 @@ renormalization by -Lmin, bf16 per-orientation outputs.  Mirrors the
 8-path aggregation of classic SGM replacing the reference's offline
 PSMNet disparity (`kitti_publisher/scripts/publisher.py:36-41`).
 
-STATUS (round 2): bitwise-correct on real TPU (disparity maps identical
-to the scan backend) and fast in isolation — 5.5 ms (x axis) + 8.0 ms
-(y axis) vs ~20 ms for the four lax.scans — but the FULL pipeline with
-this backend measures 66-80 ms vs 29 ms, because XLA materializes ~15
-full-volume f32 temporaries around the opaque custom calls
-(cost_analysis: 38 GB accessed / 15.4 GB peak temp vs 7.6 GB / 1.2 GB
-for the scan path, which fuses the 127-plane cost volume away entirely).
-The kernel-side roofline (~2 GB) beats the scan path, so the win is
-real once the surrounding graph is tamed — candidate next steps: build
-the cost volume inside the kernel (manual HBM DMA windows over the
-census images), f32 outputs to kill the cast copies, or a single fused
-kernel covering both axes.  Until then `StereoConfig.sgm_pallas`
-defaults off.
+STATUS (round 2): DEFAULT backend.  Bitwise-equal to the scan backend
+on real TPU and 21.8 ms vs 29.5 ms for the full sgm8-census pipeline at
+KITTI size.  Getting there required taming the graph AROUND the kernel,
+not the kernel (5.5 + 8.0 ms in isolation all along): custom calls need
+materialized operands, and XLA lowered the 127-way `jnp.stack` cost
+volume feeding them into a chain of growing copies — 38 GB accessed /
+15.4 GB peak temp.  `models/stereo._cost_volume_scan` (a lax.scan
+writing one incremental buffer) brings the pipeline to 7.4 GB / 0.9 GB,
+below the scan backend's 7.6 / 1.2.  Diagnosed entirely with
+`compiled.cost_analysis()` — no profiler required.
 """
 
 from __future__ import annotations
