@@ -36,6 +36,15 @@ volume feeding them into a chain of growing copies — 38 GB accessed /
 writing one incremental buffer) brings the pipeline to 7.4 GB / 0.9 GB,
 below the scan backend's 7.6 / 1.2.  Diagnosed entirely with
 `compiled.cost_analysis()` — no profiler required.
+
+Negative result, for the record: a follow-up kernel fusing the five WTA
+reductions (idx/best/cm/cp/second) into one VMEM pass was tried and
+REVERTED — it forces the aggregated volume to materialize as a kernel
+operand (+pads), raising pipeline traffic to 8.9 GB vs 7.4 GB and
+measuring slower; XLA already fuses the agg sum directly into its
+masked reductions.  Every pallas_call boundary is a forced
+materialization: only cross it where the kernel saves more than the
+operand costs.
 """
 
 from __future__ import annotations
