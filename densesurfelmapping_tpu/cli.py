@@ -342,6 +342,11 @@ def cmd_stress(args):
         revisit_radius=max(0.03 * args.radius, 1.5))
     print(f"stress feed: {args.frames} frames, {seq.n_keyframes} keyframes, "
           f"correction at frame {seq.loop_frame}")
+    if getattr(args, "stereo", False):
+        from .models.stereo import StereoConfig
+        mapping.enable_stereo(bf=cfg.camera.fx * 0.54,
+                              stereo_config=StereoConfig(
+                                  aggregation="sgm" if args.sgm else "box"))
     eval_idx = list(range(0, args.frames, max(args.frames // 10, 1)))
     eval_set = {}
     pre = None
@@ -354,13 +359,20 @@ def cmd_stress(args):
             pre = evaluate_map(mapping, list(eval_set.values())[:5],
                                [seq.gt_poses[j]
                                 for j in list(eval_set)[:5]])
+        if getattr(args, "stereo", False):
+            rp = np.array(seq.gt_poses[i], np.float64).copy()
+            rp[:3, 3] += rp[:3, 0] * 0.54
+            rimg, _ = seq.scene.render(cfg, rp)
         tf = time.perf_counter()
         mapping.feed_pose(m.stamp, m.pose, loop_path=m.loop_path,
                           loop_edges=m.loop_edges,
                           is_keyframe=m.is_keyframe,
                           reference_index=m.reference_index)
-        mapping.feed_image(m.stamp, img)
-        mapping.feed_depth(m.stamp, dep)
+        if getattr(args, "stereo", False):
+            mapping.feed_stereo(m.stamp, img, rimg)
+        else:
+            mapping.feed_image(m.stamp, img)
+            mapping.feed_depth(m.stamp, dep)
         fuse_s += time.perf_counter() - tf
         if i in eval_idx:
             eval_set[i] = (img, dep)
@@ -543,6 +555,11 @@ def main(argv=None):
     p = sub.add_parser("stress", help="seq-00-scale loop-closure stress run "
                                       "(drift, edge bursts, mid-run warp)")
     common(p)
+    p.add_argument("--stereo", action="store_true",
+                   help="stereo-resident mode: render the right view and "
+                        "compute depth on-device inside the fuse program")
+    p.add_argument("--sgm", action="store_true",
+                   help="SGM aggregation for --stereo")
     p.add_argument("--frames", type=int, default=2000)
     p.add_argument("--radius", type=float, default=60.0,
                    help="circuit radius in meters (60 ~ a KITTI block)")

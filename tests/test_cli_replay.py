@@ -141,3 +141,15 @@ def test_diagnose_subcommand_registered(capsys):
         main(["diagnose", "--help"])
     assert e.value.code == 0
     assert "fuse-frames" in capsys.readouterr().out
+
+
+def test_cli_stress_stereo_smoke(tmp_path):
+    """stress --stereo: the loop-closure stress feed runs end-to-end with
+    the stereo-resident front-end."""
+    out = str(tmp_path / "ss")
+    rc = main(["stress", "--frames", "24", "--stereo", "--kf-every", "2",
+               "--radius", "6", "--out", out,
+               "--camera-json", cam_json(tmp_path)])
+    assert rc == 0
+    ckpt = np.load(out + ".ckpt.npz")
+    assert int(ckpt["bank_count"]) > 10
