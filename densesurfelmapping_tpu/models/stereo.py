@@ -16,9 +16,12 @@ Design (TPU-first, no gathers on the hot path):
   costR(y, x, d) = costL(y, x + d, d) (a static shift, no resampling),
   plus a matching-cost ceiling.
 
-~D x 6 full-frame planes of VPU work; D=128 at KITTI size is ~15 ms-class
-on a v5e, used once per frame *outside* the fusion hot loop, and only when
-no precomputed depth is supplied.
+Measured at KITTI size / 127 disparities on a v5e (round 2): box 10 ms;
+8-path census SGM 21.8 ms with the Pallas aggregation backend (29.5 with
+lax.scan), bitwise-identical outputs.  Runs once per frame — standalone
+via `depth_from_stereo`, or fused INTO the mapping step
+(`pipeline/fuse_step.fuse_frame_stereo_packed`) so raw pairs go to the
+updated surfel bank in one device program.
 """
 
 from __future__ import annotations
