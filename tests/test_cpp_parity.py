@@ -1,0 +1,279 @@
+"""Execution-level parity vs the REAL reference C++ kernels.
+
+tools/cpp_parity compiles the unmodified reference kernel layer
+(`/root/reference/surfel_fusion/src/fusion_functions.cpp:7-1006`) against
+the installed OpenCV, stub ROS headers and a minimal Eigen shim, and drives
+it through ctypes.  These tests close the DIVERGENCES.md caveat: the golden
+chain no longer bottoms out in a transcription — the NumPy oracle AND the
+JAX path are both checked against the running C++ binary.
+
+Scope notes:
+  * Frames are sized so no superpixel seed ever goes empty, which keeps the
+    reference's thread-chunk early-return quirk (fusion_functions.cpp:
+    516-517, DIVERGENCES #1) out of play; the no-empty-seed precondition is
+    asserted so scene changes can't silently re-admit it.
+  * The C++ run itself is checked for determinism (the racy stable-flag
+    writes, DIVERGENCES #2, did not produce run-to-run variation on these
+    frames; the assert documents that this held when the goldens were cut).
+"""
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                "tools", "cpp_parity"))
+
+from densesurfelmapping_tpu.core.state import SurfelBank, pad_frame
+from densesurfelmapping_tpu.ops import superpixel as SPX
+from densesurfelmapping_tpu.ops import normals as NRM
+from densesurfelmapping_tpu.ops import fusion as FUS
+
+import reference_impl as ref
+from test_golden_superpixel import (make_config, make_ref_params,
+                                    synthetic_frame, remap_assignment,
+                                    seeds_to_ref_layout)
+from test_golden_fusion import inject_ref_seeds, inject_ref_assignment
+
+
+@pytest.fixture(scope="module")
+def cpp():
+    """The compiled reference library (skip when untoolable)."""
+    try:
+        import binding
+        binding.build()
+    except Exception as e:  # no g++/OpenCV in this environment
+        pytest.skip(f"cannot build reference C++ kernels: {e}")
+    return binding
+
+
+class CppSeeds:
+    """Adapter: C++ seed snapshot -> the oracle Seeds field layout."""
+
+    def __init__(self, d):
+        self.x, self.y = d["x"], d["y"]
+        self.size = d["size"]
+        self.norm = np.stack([d["norm_x"], d["norm_y"], d["norm_z"]], 1)
+        self.pos = np.stack([d["posi_x"], d["posi_y"], d["posi_z"]], 1)
+        self.view_cos = d["view_cos"]
+        self.mean_depth = d["mean_depth"]
+        self.mean_intensity = d["mean_intensity"]
+        self.fused = d["fused"] > 0
+        self.stable = d["stable"] > 0
+
+
+def _make_cpp(cpp, cfg):
+    return cpp.RefFusion(cfg.width, cfg.height,
+                         cfg.camera.fx, cfg.camera.fy,
+                         cfg.camera.cx, cfg.camera.cy,
+                         fuse_far=cfg.fuse_far, fuse_near=cfg.fuse_near)
+
+
+def _two_frames(cfg):
+    image0, depth0 = synthetic_frame(cfg, seed=0)
+    image1, depth1 = synthetic_frame(cfg, seed=1)
+    th = 0.02
+    pose1 = np.eye(4)
+    pose1[:3, 3] = [0.05, -0.02, 0.03]
+    pose1[:3, :3] = np.array([[np.cos(th), 0, np.sin(th)],
+                              [0, 1, 0],
+                              [-np.sin(th), 0, np.cos(th)]])
+    return [(image0, depth0, np.eye(4)), (image1, depth1, pose1)]
+
+
+@pytest.mark.parametrize("holes", [False, True], ids=["smooth", "holes"])
+def test_cpp_matches_oracle_superpixels(cpp, holes):
+    """Real C++ segmentation vs the NumPy oracle: near-bit-exact."""
+    cfg = make_config()
+    p = make_ref_params(cfg)
+    image, depth = synthetic_frame(cfg, holes=holes)
+
+    f = _make_cpp(cpp, cfg)
+    f.fuse(0, image.astype(np.uint8), depth, np.eye(4))
+    cpp_assign, cpp_seeds = f.assignment(), CppSeeds(f.seeds())
+
+    # determinism across fresh instances (racy stable-writes notwithstanding)
+    f2 = _make_cpp(cpp, cfg)
+    f2.fuse(0, image.astype(np.uint8), depth, np.eye(4))
+    np.testing.assert_array_equal(cpp_assign, f2.assignment())
+
+    seeds, assign, _, norms = ref.generate_superpixels(
+        p, image.astype(np.float64), depth.astype(np.float64))
+
+    # quirk precondition: no seed may be empty (see module docstring)
+    counts = np.bincount(cpp_assign.ravel(), minlength=f.n_seeds)
+    assert (counts > 0).all(), "scene produced an empty seed"
+
+    np.testing.assert_array_equal(cpp_assign, assign)
+    np.testing.assert_allclose(cpp_seeds.x, seeds.x, atol=1e-4)
+    np.testing.assert_allclose(cpp_seeds.y, seeds.y, atol=1e-4)
+    np.testing.assert_allclose(cpp_seeds.mean_intensity,
+                               seeds.mean_intensity, atol=1e-4)
+    np.testing.assert_allclose(cpp_seeds.mean_depth, seeds.mean_depth,
+                               atol=1e-5)
+    # plane-fit gates decide identically; fitted planes near-identical
+    has_cpp = cpp_seeds.norm.any(1)
+    has_ref = seeds.norm.any(1)
+    np.testing.assert_array_equal(has_cpp, has_ref)
+    both = has_cpp & has_ref
+    cosang = np.sum(cpp_seeds.norm[both] * seeds.norm[both], axis=1)
+    assert cosang.min() > 1 - 1e-6, f"worst normal cos {cosang.min()}"
+    np.testing.assert_allclose(cpp_seeds.pos[both], seeds.pos[both],
+                               atol=1e-5)
+    np.testing.assert_allclose(cpp_seeds.view_cos[both],
+                               seeds.view_cos[both], atol=1e-5)
+    np.testing.assert_allclose(cpp_seeds.size[both], seeds.size[both],
+                               atol=1e-5)
+    # pixel normal map
+    got = f.norm_map().astype(np.float64)
+    np.testing.assert_allclose(got, norms, atol=1e-5)
+
+
+def test_cpp_matches_jax_superpixels(cpp):
+    """Real C++ segmentation vs the JAX/TPU path (float32 tolerances)."""
+    cfg = make_config()
+    image, depth = synthetic_frame(cfg)
+
+    f = _make_cpp(cpp, cfg)
+    f.fuse(0, image.astype(np.uint8), depth, np.eye(4))
+    cpp_assign, cpp_seeds = f.assignment(), CppSeeds(f.seeds())
+
+    pi, pd = pad_frame(cfg, image, depth)
+
+    def seg(i, d):
+        seeds, assignment = SPX.run_slic(cfg, i, d)
+        seeds, _ = NRM.compute_seed_planes(cfg, seeds, assignment, d)
+        return seeds, assignment
+
+    seeds, assign = jax.jit(seg)(jnp.asarray(pi), jnp.asarray(pd))
+    got_assign = remap_assignment(cfg, assign)
+    mismatch = (got_assign != cpp_assign).mean()
+    assert mismatch < 0.01, f"assignment mismatch ratio {mismatch}"
+
+    crop = seeds_to_ref_layout(cfg, seeds)
+    clean = np.ones(f.n_seeds, bool)
+    for s in np.unique(np.concatenate(
+            [got_assign[got_assign != cpp_assign],
+             cpp_assign[got_assign != cpp_assign]])):
+        if s >= 0:
+            clean[s] = False
+    np.testing.assert_allclose(crop(seeds.x)[clean], cpp_seeds.x[clean],
+                               atol=1e-3)
+    np.testing.assert_allclose(crop(seeds.mean_depth)[clean],
+                               cpp_seeds.mean_depth[clean], atol=1e-3)
+    mine_norm = crop(seeds.norm)
+    has_mine, has_cpp = mine_norm.any(1), cpp_seeds.norm.any(1)
+    agree = (has_mine == has_cpp) | ~clean
+    assert agree.mean() > 0.97, f"plane gate agreement {agree.mean()}"
+    both = clean & has_mine & has_cpp
+    cosang = np.sum(mine_norm[both] * cpp_seeds.norm[both], axis=1)
+    assert np.all(cosang > 0.9999), f"worst normal cos {cosang.min()}"
+    np.testing.assert_allclose(crop(seeds.pos)[both], cpp_seeds.pos[both],
+                               atol=2e-3)
+
+
+def test_cpp_fusion_stage_with_injected_seeds(cpp):
+    """Isolates fuse_surfels/initialize_surfels: the JAX fusion ops consume
+    the REAL C++ segmentation result and must reproduce the C++ surfels."""
+    cfg = make_config()
+    frames = _two_frames(cfg)
+
+    f = _make_cpp(cpp, cfg)
+    local = np.zeros(0, cpp.SURFEL_DTYPE)
+    bank = SurfelBank.empty(cfg.surfel_capacity)
+
+    @jax.jit
+    def step(bank, seeds_j, assign_j, depth_j, pose_j, idx):
+        bank, fused = FUS.fuse_surfels(cfg, bank, seeds_j, assign_j,
+                                       depth_j, pose_j, idx)
+        fields, mask = FUS.extract_new_surfels(cfg, seeds_j, fused,
+                                               pose_j, idx)
+        bank, stats = FUS.compact_and_append(bank, fields, mask)
+        return bank, stats
+
+    for idx, (img, dep, pose) in enumerate(frames):
+        # C++ runs its own segmentation; JAX fuses with the C++ seeds so the
+        # comparison isolates the fusion stage.
+        local, new = f.fuse(idx, img.astype(np.uint8), dep,
+                            pose.astype(np.float32), local)
+        seeds_cpp = CppSeeds(f.seeds())
+        seeds_cpp.fused[:] = False  # pre-fusion state for the JAX side
+        seeds_j = inject_ref_seeds(cfg, seeds_cpp)
+        assign_j = inject_ref_assignment(
+            cfg, f.assignment().astype(np.int64).reshape(
+                cfg.height, cfg.width))
+        _, pd = pad_frame(cfg, img, dep)
+        bank, _ = step(bank, seeds_j, assign_j, jnp.asarray(pd),
+                       jnp.asarray(pose, jnp.float32), jnp.int32(idx))
+        local = np.concatenate([local[local["update_times"] > 0], new])
+
+    n = int(bank.count)
+    assert n == len(local), (n, len(local))
+    gp = np.asarray(bank.position[:n], np.float64)
+    cp = np.stack([local["px"], local["py"], local["pz"]], 1).astype(np.float64)
+    d2 = np.sum((cp[:, None] - gp[None]) ** 2, axis=-1)
+    nn = np.argmin(d2, axis=1)
+    dist = np.sqrt(d2[np.arange(len(cp)), nn])
+    assert (dist < 1e-4).all(), f"worst match {dist.max()}"
+    gn = np.asarray(bank.normal[:n], np.float64)[nn]
+    cn = np.stack([local["nx"], local["ny"], local["nz"]], 1)
+    assert np.sum(gn * cn, axis=1).min() > 1 - 1e-5
+    np.testing.assert_allclose(np.asarray(bank.weight[:n])[nn],
+                               local["weight"], atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(bank.update_times[:n])[nn],
+                                  local["update_times"])
+
+
+def test_cpp_two_frame_end_to_end(cpp):
+    """Full independent pipelines (C++ vs JAX, each doing its own
+    segmentation + fusion) agree on the final surfel map."""
+    cfg = make_config()
+    frames = _two_frames(cfg)
+
+    f = _make_cpp(cpp, cfg)
+    local = np.zeros(0, cpp.SURFEL_DTYPE)
+    for idx, (img, dep, pose) in enumerate(frames):
+        local, new = f.fuse(idx, img.astype(np.uint8), dep,
+                            pose.astype(np.float32), local)
+        local = np.concatenate([local[local["update_times"] > 0], new])
+
+    bank = SurfelBank.empty(cfg.surfel_capacity)
+
+    @jax.jit
+    def full_step(bank, image_j, depth_j, pose_j, idx):
+        seeds, assignment = SPX.run_slic(cfg, image_j, depth_j)
+        seeds, _ = NRM.compute_seed_planes(cfg, seeds, assignment, depth_j)
+        bank, fused = FUS.fuse_surfels(cfg, bank, seeds, assignment,
+                                       depth_j, pose_j, idx)
+        fields, mask = FUS.extract_new_surfels(cfg, seeds, fused,
+                                               pose_j, idx)
+        bank, stats = FUS.compact_and_append(bank, fields, mask)
+        return bank, stats
+
+    for idx, (img, dep, pose) in enumerate(frames):
+        pi, pd = pad_frame(cfg, img, dep)
+        bank, _ = full_step(bank, jnp.asarray(pi), jnp.asarray(pd),
+                            jnp.asarray(pose, jnp.float32), jnp.int32(idx))
+
+    n = int(bank.count)
+    n_cpp = len(local)
+    assert abs(n - n_cpp) <= max(2, int(0.02 * n_cpp)), (n, n_cpp)
+
+    # >=95% of C++ surfels matched by a JAX surfel within 1 mm
+    gp = np.asarray(bank.position[:n], np.float64)
+    cp = np.stack([local["px"], local["py"], local["pz"]], 1).astype(np.float64)
+    d2 = np.sum((cp[:, None] - gp[None]) ** 2, axis=-1)
+    nn = np.argmin(d2, axis=1)
+    dist = np.sqrt(d2[np.arange(len(cp)), nn])
+    close = dist < 1e-3
+    assert close.mean() >= 0.95, f"matched {close.mean()}"
+    gn = np.asarray(bank.normal[:n], np.float64)[nn[close]]
+    cn = np.stack([local["nx"], local["ny"], local["nz"]], 1)[close]
+    assert np.sum(gn * cn, axis=1).min() > 0.9999
+    np.testing.assert_array_equal(
+        np.asarray(bank.update_times[:n])[nn[close]],
+        local["update_times"][close])
