@@ -105,7 +105,8 @@ def main(n_frames: int = 60, warmup: int = 3):
     # lets a reader attribute a bad number to relay weather objectively
     from densesurfelmapping_tpu.utils import diagnostics
     link_dispatch_ms = diagnostics.probe_dispatch_ms(iters=10)
-    link_h2d_mbps = diagnostics.probe_h2d_mbps()
+    link_h2d_mbps = diagnostics.probe_h2d_mbps(
+        overhead_ms=link_dispatch_ms)
 
     fence_corrected = _median(seg_fps) > 1.5 * fenced_fps
     fps = fenced_fps if fence_corrected else _median(seg_fps)

@@ -100,6 +100,8 @@ def _save_debug_render(mapping, cfg, args, frame):
     from .pipeline.fuse_step import jitted_segmentation
 
     image, depth = frame
+    if depth is None:  # stereo replay: depth never leaves the device
+        depth = np.zeros_like(image, np.float32)
     pi, pd = pad_frame(cfg, image.astype(np.float32),
                        depth.astype(np.float32))
     seeds, assignment = jitted_segmentation(cfg)(jnp.asarray(pi),
@@ -242,6 +244,9 @@ def cmd_kitti(args):
                               is_keyframe=(fr.index % args.kf_every == 0))
             if args.stereo:
                 mapping.feed_stereo(fr.stamp, fr.image, fr.right_image)
+                # depth lives on-device in stereo mode; the debug render
+                # tolerates depth=None (segmentation is intensity-driven)
+                last = (fr.image, None)
             else:
                 mapping.feed_image(fr.stamp, fr.image)
                 mapping.feed_depth(fr.stamp, fr.depth)

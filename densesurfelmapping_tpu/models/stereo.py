@@ -59,6 +59,13 @@ class StereoConfig(NamedTuple):
     cost: str = "census"
     census_radius: int = 2        # 5x5 -> 24 neighbor bits
     census_ceiling: float = 16.0  # per-path census cost gate (0..24)
+    # census + pallas only: compute the Hamming cost INSIDE the axis
+    # kernels from the VMEM-resident census images (ops/pallas/sgm.py::
+    # census_aggregate) — the (D, H, W) cost volume never materializes
+    # (no 127-step builder scan, no transposes).  Bitwise-equal to the
+    # materialized path; fused only when min_disparity >= 1 and
+    # D' = max - min < 128 (the kernels' single-lane-block layout)
+    sgm_fused_census: bool = True
     # SGM uniqueness gate: the winner must beat every non-adjacent
     # candidate by a margin (best < ratio * second), rejecting periodic-
     # texture self-matches the LR check cannot catch (the classic SGBM
@@ -290,10 +297,20 @@ def _disparity_sgm(left: jnp.ndarray, right: jnp.ndarray,
     the same sub-pixel / LR-consistency / texture gates as the box path."""
     h, w = left.shape
     n_paths = float(cfg.sgm_paths)
-    vol = (_cost_volume_scan if cfg.sgm_pallas
-           else _cost_volume)(left, right, cfg)
-    agg = _sgm_aggregate(vol, cfg.sgm_p1, cfg.sgm_p2, cfg.sgm_paths,
-                         cfg.sgm_pallas)
+    n_d = cfg.max_disparity - cfg.min_disparity
+    if (cfg.sgm_pallas and cfg.cost == "census" and cfg.sgm_fused_census
+            and 0 < n_d < 128):
+        from ..ops.pallas.sgm import census_aggregate
+        cl = _census(left, cfg.census_radius)
+        cr = _census(right, cfg.census_radius)
+        v_rolls = (0,) if cfg.sgm_paths == 4 else (0, 1, -1)
+        agg = census_aggregate(cl, cr, v_rolls, cfg.sgm_p1, cfg.sgm_p2,
+                               cfg.min_disparity, n_d)
+    else:
+        vol = (_cost_volume_scan if cfg.sgm_pallas
+               else _cost_volume)(left, right, cfg)
+        agg = _sgm_aggregate(vol, cfg.sgm_p1, cfg.sgm_p2, cfg.sgm_paths,
+                             cfg.sgm_pallas)
     D = agg.shape[0]
 
     # Left WTA + sub-pixel WITHOUT take_along_axis: volume gathers measured

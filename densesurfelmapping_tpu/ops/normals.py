@@ -28,14 +28,25 @@ from . import windows as W
 from .superpixel import _static_geometry
 
 
-def space_map(config: SurfelMapConfig, depth: jnp.ndarray) -> jnp.ndarray:
+def space_map(config: SurfelMapConfig, depth: jnp.ndarray,
+              geom=None) -> jnp.ndarray:
     """(H, W) depth -> (H, W, 3) camera-frame points (z==depth, no gating),
-    mirroring `calculate_spaces_kernel` (`fusion_functions.cpp:644-662`)."""
+    mirroring `calculate_spaces_kernel` (`fusion_functions.cpp:644-662`).
+
+    geom: per-shard geometry override with GLOBAL pixel coordinate planes
+    (column-slab SPMD path) — the slab's u coordinates are absolute, so
+    back-projection stays geometrically identical to the full frame."""
     cam = config.camera
+    if geom is not None:
+        return geometry.back_project(
+            jnp.asarray(geom["px_x"], jnp.float32),
+            jnp.asarray(geom["px_y"], jnp.float32),
+            depth, cam.fx, cam.fy, cam.cx, cam.cy)
     return geometry.back_project_grid(depth, cam.fx, cam.fy, cam.cx, cam.cy)
 
 
-def pixel_normals(config: SurfelMapConfig, space: jnp.ndarray) -> jnp.ndarray:
+def pixel_normals(config: SurfelMapConfig, space: jnp.ndarray,
+                  geom=None) -> jnp.ndarray:
     """Right x down cross-product normals with a view-angle gate
     (`calculate_pixels_norms_kernel`, `fusion_functions.cpp:664-712`).
 
@@ -59,8 +70,12 @@ def pixel_normals(config: SurfelMapConfig, space: jnp.ndarray) -> jnp.ndarray:
     view = jnp.sum(n * me, axis=-1) / jnp.maximum(me_len, 1e-20)
     angle_ok = jnp.abs(view) >= config.max_angle_cos
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    if geom is not None:
+        row = jnp.asarray(geom["px_y"]).astype(jnp.int32)
+        col = jnp.asarray(geom["px_x"]).astype(jnp.int32)
+    else:
+        row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     interior = ((row >= 1) & (row < config.height - 1)
                 & (col >= 1) & (col < config.width - 1))
 
@@ -145,8 +160,8 @@ def _huber_gauss_newton(points: jnp.ndarray, mask: jnp.ndarray,
 
 def refine_seed_planes(config: SurfelMapConfig, seeds: SuperpixelState,
                        assignment: jnp.ndarray, depth_win: jnp.ndarray,
-                       space: jnp.ndarray, norms: jnp.ndarray
-                       ) -> SuperpixelState:
+                       space: jnp.ndarray, norms: jnp.ndarray,
+                       geom=None) -> SuperpixelState:
     """Per-seed robust plane fit (`calculate_sp_depth_norms_kernel`,
     `fusion_functions.cpp:792-914`).
 
@@ -156,8 +171,8 @@ def refine_seed_planes(config: SurfelMapConfig, seeds: SuperpixelState,
     the seed center onto the plane, orient toward the camera.
     """
     sp = config.sp_size
-    g = _static_geometry(config)
-    rows, cols = config.sp_rows, config.sp_cols
+    g = geom or _static_geometry(config)
+    rows, cols = seeds.x.shape
     S = rows * cols
     K = 4 * sp * sp
     hr = jnp.float32(config.profile.huber_range)
@@ -232,12 +247,13 @@ def refine_seed_planes(config: SurfelMapConfig, seeds: SuperpixelState,
 
 
 def compute_seed_planes(config: SurfelMapConfig, seeds: SuperpixelState,
-                        assignment: jnp.ndarray, depth: jnp.ndarray):
+                        assignment: jnp.ndarray, depth: jnp.ndarray,
+                        geom=None):
     """`calculate_norms` composite: space map + pixel normals + plane fit.
     Returns (seeds', space (H,W,3)) — space is reused by the fusion gates."""
-    space = space_map(config, depth)
-    norms = pixel_normals(config, space)
+    space = space_map(config, depth, geom=geom)
+    norms = pixel_normals(config, space, geom=geom)
     depth_win = W.extract_windows(depth, config.sp_size)
     seeds = refine_seed_planes(config, seeds, assignment, depth_win,
-                               space, norms)
+                               space, norms, geom=geom)
     return seeds, space

@@ -26,9 +26,13 @@ renormalization by -Lmin, bf16 per-orientation outputs.  Mirrors the
 8-path aggregation of classic SGM replacing the reference's offline
 PSMNet disparity (`kitti_publisher/scripts/publisher.py:36-41`).
 
-STATUS (round 2): DEFAULT backend.  Bitwise-equal to the scan backend
-on real TPU and 21.8 ms vs 29.5 ms for the full sgm8-census pipeline at
-KITTI size.  Getting there required taming the graph AROUND the kernel,
+STATUS (round 3): DEFAULT backend, and for census cost the volume no
+longer materializes at all — `census_aggregate` (end of file) computes
+the Hamming cost inside the kernels from VMEM-resident census images
+(bitwise-equal to the materialized path; ran live in the round-3 verify
+drive).  Round-2 record for the materialized path: bitwise-equal to the
+scan backend on real TPU, 21.8 ms vs 29.5 ms for the full sgm8-census
+pipeline at KITTI size.  Getting there required taming the graph AROUND the kernel,
 not the kernel (5.5 + 8.0 ms in isolation all along): custom calls need
 materialized operands, and XLA lowered the 127-way `jnp.stack` cost
 volume feeding them into a chain of growing copies — 38 GB accessed /
@@ -187,3 +191,288 @@ def axis_scan_pallas(v: jnp.ndarray, rolls, p1: float, p2: float,
     out_f, out_b = call(vp, vp)
     out = out_f.astype(jnp.float32) + out_b.astype(jnp.float32)
     return out[:length, :rows, :dd]
+
+
+# ---------------------------------------------------------------------------
+# Census-fed aggregation: the cost volume never materializes (round 3).
+#
+# The round-2 pipeline built a 119 MB bf16 cost volume with a 127-step
+# lax.scan, transposed it twice, and fed it to the axis kernels — ~1.5 GB
+# of HBM traffic plus the builder's per-step dispatch overhead, just to
+# move around values that are a single popcount away from the census
+# images.  These kernels compute the census Hamming cost IN-KERNEL from
+# the two (H, W) u32 census images (~1.9 MB each, VMEM-resident for the
+# whole scan):
+#
+# * y axis: for scan row y the (W, D) cost block needs cR[y, x-d] — a
+#   SHEAR of the census row.  Built with the binary-decomposition trick:
+#   broadcast the row across lanes, then for each bit k of the lane index
+#   conditionally `pltpu.roll` the sublane axis by 2^k — 7 rolls + masks,
+#   pure VPU work (out[x, d] = row[x - min_d - d]).
+# * x axis: for scan column x the natural (H, D) block needs cR[y, x-d]
+#   — 128 different COLUMNS, so the kernel runs the DP TRANSPOSED
+#   ((D, H): d on sublanes, y on lanes) where the needed block is a
+#   contiguous `pl.ds` sublane slice of the transposed census image, with
+#   the d axis REVERSED (sublane i holds disparity min_d + 127 - i; the
+#   d±1 neighbor rolls just swap).  The caller un-reverses in the same
+#   XLA copy that transposes the output back — no extra pass.
+#
+# Masking reproduces the materialized path bit-for-bit: in-volume
+# out-of-range costs use bf16(_SGM_BIG) and axis padding uses bf16(_BIG),
+# exactly the values the old kernel read back from the bf16 volume
+# (pinned by tests/test_stereo.py::test_census_fused_matches_materialized).
+# ---------------------------------------------------------------------------
+
+_SGM_BIG_F = 1e4  # keep in sync with models/stereo._SGM_BIG
+
+
+def _bf16_val(x: float) -> float:
+    """The f32 value of x after a round-trip through bfloat16 — masked
+    costs must match what the old kernel read from the bf16 volume.
+    (ml_dtypes, not jnp.bfloat16: the latter builds a traced Array under
+    jit and float() of it raises ConcretizationTypeError.)"""
+    import ml_dtypes
+    return float(np.float32(np.array(x, ml_dtypes.bfloat16)))
+
+
+def _popcount32(v):
+    """SWAR popcount on u32 vectors (portable across Mosaic versions;
+    bitwise-identical to lax.population_count)."""
+    v = v - ((v >> jnp.uint32(1)) & jnp.uint32(0x55555555))
+    v = (v & jnp.uint32(0x33333333)) + ((v >> jnp.uint32(2))
+                                        & jnp.uint32(0x33333333))
+    v = (v + (v >> jnp.uint32(4))) & jnp.uint32(0x0F0F0F0F)
+    return (v * jnp.uint32(0x01010101)) >> jnp.uint32(24)
+
+
+def _shear_sublanes(B, lane, min_d):
+    """out[x, d] = B[x - min_d - d, d] (circular; callers mask the wrap).
+    B: (X, 128); lane: (X, 128) i32 lane iota."""
+    if min_d:
+        B = pltpu.roll(B, min_d, axis=0)
+    for k in range(7):
+        amt = 1 << k
+        B = jnp.where((lane >> k) & 1 == 1, pltpu.roll(B, amt, axis=0), B)
+    return B
+
+
+@functools.lru_cache(maxsize=16)
+def _census_call_y(Lh: int, Rw: int, n_rows: int, n_cols: int, n_d: int,
+                   rolls: tuple, p1: float, p2: float, min_d: int,
+                   t_blk: int, interpret: bool):
+    """Row-axis (vertical + diagonal) scans fed by census rows.
+
+    Inputs: censusL, censusR as (Lh, Rw) u32 (row blocks per orientation).
+    Outputs: per-orientation (Lh, Rw, 128) bf16 path sums (d on lanes),
+    matching `_axis_call` on the materialized volume bitwise."""
+    g = len(rolls)
+    n_blk = Lh // t_blk
+    bv = _bf16_val(_SGM_BIG_F)   # in-volume out-of-range cost
+    bp = _bf16_val(_BIG)         # axis padding
+
+    def kernel(clf_ref, crf_ref, clb_ref, crb_ref, of_ref, ob_ref,
+               cf_ref, cb_ref):
+        b = pl.program_id(0)
+
+        @pl.when(b == 0)
+        def _():
+            cf_ref[...] = jnp.zeros_like(cf_ref)
+            cb_ref[...] = jnp.zeros_like(cb_ref)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Rw, _LANES), 1)
+        xrow = jax.lax.broadcasted_iota(jnp.int32, (Rw, _LANES), 0)
+
+        def cost_at(cl_ref, cr_ref, col, y_global):
+            B = jnp.broadcast_to(cr_ref[col][:, None], (Rw, _LANES))
+            B = _shear_sublanes(B, lane, min_d)
+            cost = _popcount32(B ^ cl_ref[col][:, None]).astype(jnp.float32)
+            dreal = lane + min_d
+            cost = jnp.where(xrow >= dreal, cost, bv)       # x - d < 0
+            in_img = (lane < n_d) & (xrow < n_cols) \
+                & (y_global < n_rows)
+            return jnp.where(in_img, cost, bp)              # axis pads
+
+        def advance(carry_ref, cost, out_ref, col):
+            total = None
+            for k, roll in enumerate(rolls):
+                c = carry_ref[k]
+                if roll:
+                    c = pltpu.roll(c, roll % Rw, axis=0)
+                    rowid = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0)
+                    at_border = (rowid == 0) if roll > 0 \
+                        else (rowid >= n_cols - 1)
+                    c = jnp.where(at_border, 0.0, c)
+                nxt = _dp_update(c, cost, p1, p2)
+                carry_ref[k] = nxt
+                total = nxt if total is None else total + nxt
+            out_ref[col] = total.astype(jnp.bfloat16)
+
+        for col in range(t_blk):
+            yf = b * t_blk + col
+            advance(cf_ref, cost_at(clf_ref, crf_ref, col, yf),
+                    of_ref, col)
+            yb = (n_blk - 1 - b) * t_blk + (t_blk - 1 - col)
+            advance(cb_ref, cost_at(clb_ref, crb_ref, t_blk - 1 - col, yb),
+                    ob_ref, t_blk - 1 - col)
+
+    blk = (t_blk, Rw)
+    out_blk = (t_blk, Rw, _LANES)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blk,),
+        in_specs=[
+            pl.BlockSpec(blk, lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, lambda b: (n_blk - 1 - b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, lambda b: (n_blk - 1 - b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(out_blk, lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(out_blk, lambda b: (n_blk - 1 - b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Lh, Rw, _LANES), jnp.bfloat16),
+            jax.ShapeDtypeStruct((Lh, Rw, _LANES), jnp.bfloat16),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((g, Rw, _LANES), jnp.float32),
+            pltpu.VMEM((g, Rw, _LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def _dp_update_t(L_prev, cost, p1, p2):
+    """Transposed DP step on (128, R) blocks: d on SUBLANES, REVERSED
+    (sublane i holds disparity min_d + 127 - i), so the d-1 neighbor is
+    sublane i+1 and d+1 is sublane i-1 — same wrap-a-BIG-pad-lane trick
+    as `_dp_update`, axes and roll amounts swapped."""
+    lmin = jnp.min(L_prev, axis=0, keepdims=True)
+    dm = pltpu.roll(L_prev, _LANES - 1, axis=0)   # out[i] = in[i+1] (d-1)
+    dp = pltpu.roll(L_prev, 1, axis=0)            # out[i] = in[i-1] (d+1)
+    cand = jnp.minimum(jnp.minimum(L_prev, jnp.minimum(dm, dp) + p1),
+                       lmin + p2)
+    return cost + (cand - lmin)
+
+
+@functools.lru_cache(maxsize=16)
+def _census_call_x(Lw: int, Rh: int, Wext: int, n_cols: int, n_rows: int,
+                   n_d: int, p1: float, p2: float, min_d: int,
+                   t_blk: int, interpret: bool):
+    """Column-axis (horizontal) scans fed by TRANSPOSED census images.
+
+    Inputs: censusL^T blocks (t_blk, Rh) u32 per orientation, plus the
+    whole zero-prefixed censusR^T (Wext, Rh) resident in VMEM — the cost
+    block for column x is the contiguous sublane slice [x, x+128) with
+    the d axis reversed (see module comment).  Outputs: (Lw, 128, Rh)
+    bf16 per orientation, d REVERSED on sublanes."""
+    n_blk = Lw // t_blk
+    bv = _bf16_val(_SGM_BIG_F)
+    bp = _bf16_val(_BIG)
+
+    def kernel(clf_ref, clb_ref, crt_ref, of_ref, ob_ref, cf_ref, cb_ref):
+        b = pl.program_id(0)
+
+        @pl.when(b == 0)
+        def _():
+            cf_ref[...] = jnp.zeros_like(cf_ref)
+            cb_ref[...] = jnp.zeros_like(cb_ref)
+
+        subl = jax.lax.broadcasted_iota(jnp.int32, (_LANES, Rh), 0)
+        ycol = jax.lax.broadcasted_iota(jnp.int32, (_LANES, Rh), 1)
+        dreal = (_LANES - 1 - subl) + min_d          # reversed d layout
+
+        def cost_at(cl_ref, col, x_global):
+            S = crt_ref[pl.ds(x_global, _LANES), :]   # (128, Rh) u32
+            cost = _popcount32(S ^ cl_ref[col][None, :]).astype(jnp.float32)
+            cost = jnp.where(dreal <= x_global, cost, bv)   # x - d < 0
+            in_img = (dreal < n_d + min_d) & (ycol < n_rows) \
+                & (x_global < n_cols)
+            return jnp.where(in_img, cost, bp)
+
+        def advance(carry_ref, cost, out_ref, col):
+            nxt = _dp_update_t(carry_ref[0], cost, p1, p2)
+            carry_ref[0] = nxt
+            out_ref[col] = nxt.astype(jnp.bfloat16)
+
+        for col in range(t_blk):
+            xf = b * t_blk + col
+            advance(cf_ref, cost_at(clf_ref, col, xf), of_ref, col)
+            xb = (n_blk - 1 - b) * t_blk + (t_blk - 1 - col)
+            advance(cb_ref, cost_at(clb_ref, t_blk - 1 - col, xb),
+                    ob_ref, t_blk - 1 - col)
+
+    blk = (t_blk, Rh)
+    out_blk = (t_blk, _LANES, Rh)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blk,),
+        in_specs=[
+            pl.BlockSpec(blk, lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, lambda b: (n_blk - 1 - b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wext, Rh), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(out_blk, lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(out_blk, lambda b: (n_blk - 1 - b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Lw, _LANES, Rh), jnp.bfloat16),
+            jax.ShapeDtypeStruct((Lw, _LANES, Rh), jnp.bfloat16),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, _LANES, Rh), jnp.float32),
+            pltpu.VMEM((1, _LANES, Rh), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def census_aggregate(census_l: jnp.ndarray, census_r: jnp.ndarray,
+                     v_rolls, p1: float, p2: float, min_d: int, n_d: int,
+                     t_blk: int = 16) -> jnp.ndarray:
+    """Full 4/8-path SGM aggregation STRAIGHT from (H, W) u32 census
+    images; returns the f32 (D, H, W) aggregated volume, bitwise equal to
+    `_sgm_aggregate(_cost_volume(...), ...)` with the pallas backend.
+
+    v_rolls: carry shifts of the directions sharing the row scan
+    ((0,) = 4-path, (0, 1, -1) = 8-path)."""
+    h, w = census_l.shape
+    interp = _interpret()
+
+    # --- x axis (transposed, d reversed on sublanes) ---
+    lw = _round_up(w, t_blk)
+    rh = _round_up(h, _LANES)
+    p_top = _LANES - 1 + min_d
+    wext = _round_up(lw + _LANES + p_top, 8)
+    clt = jnp.pad(census_l.T, ((0, lw - w), (0, rh - h)))
+    crt = jnp.pad(census_r.T, ((p_top, wext - p_top - w), (0, rh - h)))
+    xcall = _census_call_x(lw, rh, wext, w, h, n_d, float(p1), float(p2),
+                           int(min_d), int(t_blk), interp)
+    xf, xb = xcall(clt, clt, crt)
+    x_sum = xf.astype(jnp.float32) + xb.astype(jnp.float32)
+    # (W, 128rev, H) -> (D, H, W): un-reverse d and transpose in one copy
+    agg = jnp.transpose(x_sum[:w, ::-1, :h], (1, 2, 0))[:n_d]
+
+    # --- y axis (vertical + diagonals) ---
+    lh = _round_up(h, t_blk)
+    rw = _round_up(w, _LANES)
+    cl = jnp.pad(census_l, ((0, lh - h), (0, rw - w)))
+    cr = jnp.pad(census_r, ((0, lh - h), (0, rw - w)))
+    ycall = _census_call_y(lh, rw, h, w, n_d, tuple(v_rolls), float(p1),
+                           float(p2), int(min_d), int(t_blk), interp)
+    yf, yb = ycall(cl, cr, cl, cr)
+    y_sum = yf.astype(jnp.float32) + yb.astype(jnp.float32)
+    return agg + jnp.transpose(y_sum[:h, :w, :n_d], (2, 0, 1))

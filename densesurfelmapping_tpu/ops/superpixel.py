@@ -80,10 +80,25 @@ def _static_geometry(config: SurfelMapConfig):
         nb = pad_f[1 + dj:1 + dj + rows, 1 + di:1 + di + cols]
         nb_flat[(di, dj)] = np.repeat(np.repeat(nb, sp, 0), sp, 1)
 
+    px_y = np.broadcast_to(np.arange(h, dtype=np.float32)[:, None], (h, w))
+    px_x = np.broadcast_to(np.arange(w, dtype=np.float32)[None, :], (h, w))
+    center_y = np.broadcast_to(
+        (np.arange(rows, dtype=np.float32) * sp + sp // 2)[:, None],
+        (rows, cols))
+    center_x = np.broadcast_to(
+        (np.arange(cols, dtype=np.float32) * sp + sp // 2)[None, :],
+        (rows, cols))
+
     return dict(
         pixel_valid=pixel_valid, seed_valid=seed_valid, flat_id=flat_id,
         interior=interior, in_image=in_image, win_y=win_y, win_x=win_x,
         in_range=in_range, nb_flat=nb_flat,
+        px_y=px_y, px_x=px_x, center_y=center_y, center_x=center_x,
+        # id layout of `flat_id` values: id = r * grid_cols + (col0 + c_local)
+        # — the identity layout here; the column-slab SPMD path
+        # (parallel/frame_sharding.py) overrides these to map global ids
+        # back into its local seed grid
+        grid_cols=cols, col0=0,
     )
 
 
@@ -98,27 +113,32 @@ def _neighbor_plane(field: jnp.ndarray, di: int, dj: int, sp: int,
 
 
 def initialize_seeds(config: SurfelMapConfig, image: jnp.ndarray,
-                     depth: jnp.ndarray) -> SuperpixelState:
+                     depth: jnp.ndarray, geom=None) -> SuperpixelState:
     """Seed grid init (`fusion_functions.cpp:577-629`): centers on the SP
     grid; if the center has no depth, steal the first valid depth in the
-    seed's window (row-major scan order)."""
+    seed's window (row-major scan order).
+
+    geom: optional override of the static geometry dict — used by the
+    column-slab SPMD path (parallel/frame_sharding.py) to pass per-shard
+    sliced masks/coordinates as traced data instead of config constants.
+    """
     sp = config.sp_size
-    g = _static_geometry(config)
-    rows, cols = config.sp_rows, config.sp_cols
+    g = geom or _static_geometry(config)
+    rows, cols = image.shape[0] // sp, image.shape[1] // sp
 
     half = sp // 2
     center_i = image.reshape(rows, sp, cols, sp)[:, half, :, half]
     center_d = depth.reshape(rows, sp, cols, sp)[:, half, :, half]
 
     depth_win = W.extract_windows(depth, sp)
-    steal_ok = (depth_win > 0.01) & g["interior"]
+    steal_ok = (depth_win > 0.01) & jnp.asarray(g["interior"])
     stolen, found = W.first_valid(depth_win, steal_ok)
 
     mean_depth = jnp.where((center_d < 0.01) & found, stolen, center_d)
 
     seed_valid = jnp.asarray(g["seed_valid"])
-    cy = (jnp.arange(rows, dtype=jnp.float32) * sp + half)[:, None]
-    cx = (jnp.arange(cols, dtype=jnp.float32) * sp + half)[None, :]
+    cy = jnp.asarray(g["center_y"], jnp.float32)
+    cx = jnp.asarray(g["center_x"], jnp.float32)
 
     zeros = jnp.zeros((rows, cols), jnp.float32)
     return SuperpixelState(
@@ -136,7 +156,7 @@ def initialize_seeds(config: SurfelMapConfig, image: jnp.ndarray,
 
 def assign_pixels(config: SurfelMapConfig, seeds: SuperpixelState,
                   image: jnp.ndarray, inv_depth: jnp.ndarray,
-                  assignment: jnp.ndarray):
+                  assignment: jnp.ndarray, geom=None):
     """One pixel-assignment sweep (`update_pixels_kernel`,
     `fusion_functions.cpp:389-453`).
 
@@ -145,12 +165,12 @@ def assign_pixels(config: SurfelMapConfig, seeds: SuperpixelState,
     stable flag (computed as a windowed OR instead of the reference's racy
     scatter)."""
     sp = config.sp_size
-    g = _static_geometry(config)
-    rows, cols = config.sp_rows, config.sp_cols
+    g = geom or _static_geometry(config)
+    rows, cols = seeds.x.shape
     n_seeds = rows * cols
 
-    px_y = jax.lax.broadcasted_iota(jnp.float32, image.shape, 0)
-    px_x = jax.lax.broadcasted_iota(jnp.float32, image.shape, 1)
+    px_y = jnp.asarray(g["px_y"], jnp.float32)
+    px_x = jnp.asarray(g["px_x"], jnp.float32)
 
     half_sq = jnp.float32((sp // 2) * (sp // 2))
 
@@ -193,7 +213,15 @@ def assign_pixels(config: SurfelMapConfig, seeds: SuperpixelState,
     chosen = jnp.where(best_cost >= BIG_COST, -1, chosen)
 
     stable_flat = seeds.stable.reshape(n_seeds)
-    cur_stable = stable_flat[jnp.clip(assignment, 0)] & (assignment >= 0)
+    # assignment holds GLOBAL flat ids (id = r * grid_cols + global col);
+    # map into this seed grid's local layout (identity in the full-frame
+    # case; a column-slab under frame sharding sees only its own columns)
+    ids = jnp.clip(assignment, 0)
+    id_r = ids // g["grid_cols"]
+    id_c = ids % g["grid_cols"] - g["col0"]
+    in_grid = (assignment >= 0) & (id_c >= 0) & (id_c < cols)
+    lidx = jnp.clip(id_r * cols + id_c, 0, n_seeds - 1)
+    cur_stable = stable_flat[lidx] & in_grid
     updated = jnp.asarray(g["pixel_valid"]) & ~cur_stable
 
     new_assignment = jnp.where(updated, chosen, assignment)
@@ -209,16 +237,18 @@ def assign_pixels(config: SurfelMapConfig, seeds: SuperpixelState,
 
 def update_seeds(config: SurfelMapConfig, seeds: SuperpixelState,
                  assignment: jnp.ndarray, image_win: jnp.ndarray,
-                 depth_win: jnp.ndarray) -> SuperpixelState:
+                 depth_win: jnp.ndarray, geom=None) -> SuperpixelState:
     """One seed-update sweep (`update_seeds_kernel`,
     `fusion_functions.cpp:468-561`): recompute centroid / mean intensity of
     every unstable seed, latch stability on small updates, and Huber-Newton
     the per-seed mean depth (5 iterations, early-break latch)."""
     sp = config.sp_size
-    g = _static_geometry(config)
+    g = geom or _static_geometry(config)
     hr = jnp.float32(config.profile.huber_range)
 
     assign_win = W.extract_windows(assignment, sp)
+    # padded window elements read 0 == a real flat id; mask them off via
+    # the interior mask (identical geometry to the full-frame constants)
     member = (assign_win == jnp.asarray(g["flat_id"])[..., None]) \
         & jnp.asarray(g["interior"])
 
@@ -269,23 +299,26 @@ def update_seeds(config: SurfelMapConfig, seeds: SuperpixelState,
 
 
 def run_slic(config: SurfelMapConfig, image: jnp.ndarray,
-             depth: jnp.ndarray, use_pallas: bool | None = None):
+             depth: jnp.ndarray, use_pallas: bool | None = None,
+             geom=None):
     """Full superpixel extraction (`generate_super_pixels`,
     `fusion_functions.cpp:960-975`): seed init + ITERATION_NUM x
     (assign, update).  Returns (seeds, assignment (H,W) i32 flat ids).
 
     use_pallas: None = auto (Pallas kernels on TPU, pure-XLA elsewhere).
     Both paths compute the same function; tests cross-check them.
+    geom: per-shard geometry override (column-slab SPMD path) — forces the
+    pure-XLA path.
     """
     sp = config.sp_size
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = geom is None and jax.default_backend() == "tpu"
     inv_depth = jnp.where(depth > 0.01, 1.0 / jnp.maximum(depth, 1e-20), 0.0)
 
-    seeds = initialize_seeds(config, image, depth)
+    seeds = initialize_seeds(config, image, depth, geom=geom)
     # raw pixels start at seed 0 like the reference's zero-fill
     # (fusion_functions.cpp:964); padded pixels are pinned to -1 (no seed)
-    g = _static_geometry(config)
+    g = geom or _static_geometry(config)
     assignment = jnp.where(jnp.asarray(g["pixel_valid"]), 0, -1).astype(jnp.int32)
 
     if use_pallas:
@@ -301,6 +334,7 @@ def run_slic(config: SurfelMapConfig, image: jnp.ndarray,
     depth_win = W.extract_windows(depth, sp)
     for _ in range(config.sp_iters):
         assignment, seeds, _ = assign_pixels(
-            config, seeds, image, inv_depth, assignment)
-        seeds = update_seeds(config, seeds, assignment, image_win, depth_win)
+            config, seeds, image, inv_depth, assignment, geom=geom)
+        seeds = update_seeds(config, seeds, assignment, image_win,
+                             depth_win, geom=geom)
     return seeds, assignment

@@ -89,8 +89,9 @@ class DeviceResidentMapping(SurfelMapping):
     # migration == window-mask update (no device work at all)
     # ------------------------------------------------------------------
     def _move_add_surfels(self, ref_index: int) -> None:
-        window = self.graph.driftfree_window(ref_index,
-                                             self.config.drift_free_poses)
+        with self.timer.stage("bfs"):
+            window = self.graph.driftfree_window(
+                ref_index, self.config.drift_free_poses)
         self._ensure_keyframe_capacity()
         self.local_indices = set(window)
         # fresh allocation every frame: the previous mask may still be
@@ -109,15 +110,21 @@ class DeviceResidentMapping(SurfelMapping):
         from .driver import _StereoPair
         pose_dev = jnp.asarray(np.asarray(pose, np.float32).reshape(4, 4))
         if isinstance(depth, _StereoPair):
-            self.bank, stats = self._stereo_fuse(
-                self.bank, jnp.asarray(depth.buf), pose_dev,
-                jnp.int32(ref_index), jnp.float32(self._stereo_bf),
-                jnp.asarray(self._window_np))
+            with self.timer.stage("dispatch"):
+                self.bank, stats = self._stereo_fuse(
+                    self.bank, jnp.asarray(depth.buf), pose_dev,
+                    jnp.int32(ref_index), jnp.float32(self._stereo_bf),
+                    jnp.asarray(self._window_np))
         else:
-            buf = pack_frame(self.config, image, depth)
-            self.bank, stats = self._fuse_windowed(
-                self.bank, jnp.asarray(buf), pose_dev,
-                jnp.int32(ref_index), jnp.asarray(self._window_np))
+            # sub-stages of "fuse" so the host slice of the frame budget is
+            # attributable (pack = native encoder; dispatch = async enqueue
+            # incl. the h2d of the packed buffer)
+            with self.timer.stage("pack"):
+                buf = pack_frame(self.config, image, depth)
+            with self.timer.stage("dispatch"):
+                self.bank, stats = self._fuse_windowed(
+                    self.bank, jnp.asarray(buf), pose_dev,
+                    jnp.int32(ref_index), jnp.asarray(self._window_np))
         self._stats_dev = stats
         self._host_rows = None
         self.frames_fused += 1

@@ -124,6 +124,8 @@ class MultiSessionMapping:
         self._drop_accum = jnp.zeros((n_streams,), jnp.int32)
         self.stamp_tolerance = 1e-6
         self.rounds = 0
+        from ..utils.timing import StageTimer
+        self.timer = StageTimer()   # prep / upload / dispatch per round
 
         # fleet-wide on-device stereo front-end (enable_stereo/feed_stereo)
         self._stereo_cfg = None
@@ -292,38 +294,44 @@ class MultiSessionMapping:
         refs = np.zeros(self.n_streams, np.int32)
         masks = np.zeros((self.n_streams, cfg.max_keyframes), bool)
         fused_real = 0
-        for k, s in enumerate(self.sessions):
-            ready = self._session_ready_frame(s)
-            if ready is None:
-                refs[k] = s.last_ref
+        with self.timer.stage("prep"):
+            for k, s in enumerate(self.sessions):
+                ready = self._session_ready_frame(s)
+                if ready is None:
+                    refs[k] = s.last_ref
+                    masks[k] = s.window
+                    continue
+                stamp, rel, ref, img, dep, _ = ready
+                window = s.graph.driftfree_window(ref, cfg.drift_free_poses)
+                s.window[:] = False
+                s.window[list(window)] = True
+                s.first_local = min(window) if window else 0
+                fuse_pose = s.graph.keyframes[ref].cam_pose @ rel
+                bufs[k] = dep if stereo else pack_frame(cfg, img, dep)
+                poses[k] = np.asarray(fuse_pose, np.float32)
+                refs[k] = ref
                 masks[k] = s.window
-                continue
-            stamp, rel, ref, img, dep, _ = ready
-            window = s.graph.driftfree_window(ref, cfg.drift_free_poses)
-            s.window[:] = False
-            s.window[list(window)] = True
-            s.first_local = min(window) if window else 0
-            fuse_pose = s.graph.keyframes[ref].cam_pose @ rel
-            bufs[k] = dep if stereo else pack_frame(cfg, img, dep)
-            poses[k] = np.asarray(fuse_pose, np.float32)
-            refs[k] = ref
-            masks[k] = s.window
-            s.last_ref = ref
-            s.pose_buffer.popleft()
-            s.image_buffer.popleft()
-            s.depth_buffer.popleft()
-            s.frames_fused += 1
-            fused_real += 1
+                s.last_ref = ref
+                s.pose_buffer.popleft()
+                s.image_buffer.popleft()
+                s.depth_buffer.popleft()
+                s.frames_fused += 1
+                fused_real += 1
 
-        if stereo:
-            bf = np.full(self.n_streams, self._stereo_bf, np.float32)
-            self.banks, stats = self._stereo_step(
-                self.banks, jnp.asarray(bufs), jnp.asarray(poses),
-                jnp.asarray(refs), jnp.asarray(bf), jnp.asarray(masks))
-        else:
-            self.banks, stats = self._step(
-                self.banks, jnp.asarray(bufs),
-                jnp.asarray(poses), jnp.asarray(refs), jnp.asarray(masks))
+        with self.timer.stage("upload"):
+            bufs_d = jnp.asarray(bufs)
+            poses_d = jnp.asarray(poses)
+            refs_d = jnp.asarray(refs)
+            masks_d = jnp.asarray(masks)
+        with self.timer.stage("dispatch"):
+            if stereo:
+                bf = np.full(self.n_streams, self._stereo_bf, np.float32)
+                self.banks, stats = self._stereo_step(
+                    self.banks, bufs_d, poses_d, refs_d,
+                    jnp.asarray(bf), masks_d)
+            else:
+                self.banks, stats = self._step(
+                    self.banks, bufs_d, poses_d, refs_d, masks_d)
         if "n_dropped" in stats:
             # device-side accumulation (one tiny fused add, no readback)
             self._drop_accum = _accumulate()(self._drop_accum,

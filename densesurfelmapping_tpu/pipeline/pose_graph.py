@@ -70,8 +70,11 @@ class PoseGraph:
         m = min(len(path), len(self.keyframes))
         for i in range(m):
             self.keyframes[i].loop_pose = np.array(path[i], np.float64)
-            if not np.array_equal(self.keyframes[i].loop_pose[:3, 3],
-                                  self.keyframes[i].cam_pose[:3, 3]):
+            # full 3x4 comparison: the reference tests translation only
+            # (surfel_map.cpp:236-253), making rotation-only pose-graph
+            # corrections invisible — documented divergence #14
+            if not np.array_equal(self.keyframes[i].loop_pose[:3, :4],
+                                  self.keyframes[i].cam_pose[:3, :4]):
                 changed = True
         if len(self.keyframes) > len(path) > 0:
             last = len(path) - 1
@@ -88,7 +91,9 @@ class PoseGraph:
         warps = np.tile(np.eye(4), (n, 1, 1))
         moved = np.zeros(n, bool)
         for i, kf in enumerate(self.keyframes):
-            if not np.array_equal(kf.cam_pose[:3, 3], kf.loop_pose[:3, 3]):
+            # full 3x4 comparison (divergence #14): rotation-only
+            # corrections also warp; the reference would skip them
+            if not np.array_equal(kf.cam_pose[:3, :4], kf.loop_pose[:3, :4]):
                 warps[i] = kf.loop_pose @ geometry.invert_se3(kf.cam_pose)
                 moved[i] = True
         return warps, moved

@@ -43,7 +43,12 @@ _STALE_CACHE_MARKERS = (
     # the cached executable itself
     "libtpu version mismatch",
     "compiled with a different version",
-    "deserializ",  # Deserialization failures of cached executables
+    # anchored to executable-cache wording: a bare "deserializ" substring
+    # would also match unrelated proto/RPC deserialization errors and wipe
+    # a healthy cache (ADVICE r2)
+    "deserialize executable",
+    "deserializing executable",
+    "failed to deserialize",
     "incompatible serialized executable",
 )
 

@@ -42,9 +42,14 @@ def probe_dispatch_ms(iters: int = 20) -> float:
     return (time.perf_counter() - t0) / iters * 1e3
 
 
-def probe_h2d_mbps(n_bytes: int = 1 << 21) -> float:
-    """Effective host->device bandwidth of one fresh frame-sized upload,
-    fenced by a readback.  Same caveat as probe_dispatch_ms."""
+def probe_h2d_mbps(n_bytes: int = 1 << 24, overhead_ms: float = 0.0) -> float:
+    """Effective host->device bandwidth of one fresh large upload, fenced by
+    a readback.  Same caveat as probe_dispatch_ms.
+
+    The default 16 MB buffer makes transfer time dominate the fixed
+    relay round-trip folded into the fence; pass the independently measured
+    `overhead_ms` (dispatch round cost) to subtract what remains of it
+    (ADVICE r2: the old 2 MB probe understated healthy bandwidth ~2x)."""
     import jax
 
     buf = np.random.randint(0, 255, size=(n_bytes,), dtype=np.uint8)
@@ -53,7 +58,8 @@ def probe_h2d_mbps(n_bytes: int = 1 << 21) -> float:
     t0 = time.perf_counter()
     d = jax.device_put(buf[::-1].copy())    # fresh content
     np.asarray(d[:4])
-    return n_bytes / (time.perf_counter() - t0) / 1e6
+    elapsed = time.perf_counter() - t0 - overhead_ms / 1e3
+    return n_bytes / max(elapsed, 1e-6) / 1e6
 
 
 def run_diagnostics(n_fuse: int = 15) -> Dict[str, float]:
@@ -68,7 +74,8 @@ def run_diagnostics(n_fuse: int = 15) -> Dict[str, float]:
 
     out: Dict[str, float] = {"backend": jax.default_backend()}
     out["dispatch_ms"] = round(probe_dispatch_ms(), 2)
-    out["h2d_mbps"] = round(probe_h2d_mbps(), 1)
+    out["h2d_mbps"] = round(
+        probe_h2d_mbps(overhead_ms=out["dispatch_ms"]), 1)
 
     # 3) the real fuse step, chained (fresh upload per frame, like the
     # online driver), one fence at the end

@@ -1,0 +1,65 @@
+"""Host-slice breakdown of the DeviceResidentMapping frame budget.
+
+Round-1 measured the full driver at 5.5 ms/frame while the device step is
+1.25 ms — a >4 ms host slice that was never attributed (VERDICT r2 weak
+#4).  This runs the driver's feed loop on synthetic KITTI-size frames with
+per-stage StageTimer instrumentation (bfs / pack / dispatch / migrate /
+fuse) and prints the means, plus a pure-host pass (no device dispatch) to
+separate relay-independent host cost from enqueue cost.
+
+Host-only numbers (pack, bfs, sync bookkeeping) are valid even in a
+degraded relay window; "dispatch" is only meaningful when healthy.
+
+Usage: python experiments/host_profile.py [n_frames]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def main(n_frames: int = 120):
+    import densesurfelmapping_tpu as dsm
+    from densesurfelmapping_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from densesurfelmapping_tpu.pipeline.device_driver import (
+        DeviceResidentMapping)
+    from densesurfelmapping_tpu.io import synthetic
+
+    cfg = dsm.kitti_config(surfel_capacity=1 << 19)
+    scene = synthetic.default_scene()
+    poses = synthetic.forward_trajectory(n_frames, step=0.4)
+    print("rendering frames...", flush=True)
+    frames = [scene.render(cfg, p) for p in poses]
+
+    m = DeviceResidentMapping(cfg)
+    # warmup / compile
+    m.feed_pose(0.0, poses[0], is_keyframe=True)
+    m.feed_image(0.0, frames[0][0])
+    m.feed_depth(0.0, frames[0][1])
+    import jax
+    jax.block_until_ready(m.bank.position)
+    m.timer.totals.clear()
+    m.timer.counts.clear()
+
+    t0 = time.perf_counter()
+    for i in range(1, n_frames):
+        img, dep = frames[i]
+        m.feed_pose(float(i), poses[i], is_keyframe=(i % 2 == 0))
+        m.feed_image(float(i), img)
+        m.feed_depth(float(i), dep)
+    jax.block_until_ready(m.bank.position)
+    np.asarray(m.bank.count)               # hard fence
+    dt = (time.perf_counter() - t0) / (n_frames - 1) * 1e3
+
+    print(f"end-to-end: {dt:.2f} ms/frame ({1000.0 / dt:.0f} fps)")
+    means = m.timer.means_ms()
+    for k in sorted(means, key=means.get, reverse=True):
+        print(f"  {k:12s} {means[k]:7.3f} ms/frame x{m.timer.counts[k]}")
+    other = dt - sum(means[k] for k in ("migrate", "fuse") if k in means)
+    print(f"  (unattributed host+feed: {other:.3f} ms/frame)")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 120)

@@ -51,19 +51,23 @@ def main(iters: int = 15):
         return out
 
     outs = {}
-    for use_pallas in (True, False):
-        tag = "pallas" if use_pallas else "lax.scan"
+    for use_pallas, fused in ((True, True), (True, False), (False, False)):
+        tag = ("pallas-fused" if fused else
+               "pallas" if use_pallas else "lax.scan")
         scfg = stereo.StereoConfig(max_disparity=128, min_disparity=1,
                                    radius=4, aggregation="sgm",
                                    cost="census", sgm_paths=8,
-                                   sgm_pallas=use_pallas)
+                                   sgm_pallas=use_pallas,
+                                   sgm_fused_census=fused)
         outs[tag] = np.asarray(stereo.jitted_disparity(scfg)(l, r))
         # only the FULL pipeline is timed: sliced-output sub-stage chains
         # measured nonsense (tiny outputs defeat the chain methodology)
         timeit(f"sgm8 census full ({tag})", stereo.jitted_disparity(scfg))
 
     same = np.array_equal(outs["pallas"], outs["lax.scan"])
-    print(f"disparity maps identical: {same}")
+    same_fused = np.array_equal(outs["pallas-fused"], outs["pallas"])
+    print(f"disparity maps identical: pallas==scan {same}, "
+          f"fused==materialized {same_fused}")
 
 
 if __name__ == "__main__":

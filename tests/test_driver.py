@@ -509,3 +509,46 @@ def test_invalid_poses_dropped():
 
     feed_frame(m, 1.0, np.eye(4), img, dep, is_keyframe=True)
     assert m.frames_fused == 1
+
+
+def test_rotation_only_correction_warps():
+    """Divergence #14: a keyframe whose translation is unchanged but whose
+    rotation was corrected must still be detected as moved and warp its
+    surfels.  The reference compares translations only
+    (surfel_map.cpp:236-253,693-711) and would silently skip it."""
+    th = 0.3
+    c, s = np.cos(th), np.sin(th)
+    R = np.array([[c, 0, s, 0], [0, 1, 0, 0],
+                  [-s, 0, c, 0], [0, 0, 0, 1]])
+
+    # graph-level: pure rotation at the origin is a change
+    g = PoseGraph()
+    g.add_keyframe(np.eye(4), 0.0)
+    assert g.update_loop_path([R]) is True
+    warps, moved = g.pose_warps()
+    assert moved[0]
+    np.testing.assert_allclose(warps[0], R, atol=1e-12)
+
+    # driver-level: keyframe 0 sits at the world origin, so a yaw about
+    # the origin keeps its translation bit-identical while rotating it
+    cfg = tiny_config(drift_free_poses=2)
+    m = SurfelMapping(cfg)
+    for i in range(5):
+        pose = np.eye(4)
+        pose[0, 3] = 0.4 * i
+        img, dep = render_plane(cfg, pose)
+        feed_frame(m, float(i), pose, img, dep, is_keyframe=True)
+    assert np.allclose((R @ m.graph.keyframes[0].cam_pose)[:3, 3],
+                       m.graph.keyframes[0].cam_pose[:3, 3])
+    slabs_before = {k: v["position"].copy() for k, v in m.pool.slabs.items()}
+    assert 0 in slabs_before, "keyframe 0 must have migrated out"
+
+    loop_path = [R @ kf.cam_pose for kf in m.graph.keyframes]
+    m.feed_pose(5.0, R.copy(), is_keyframe=True, loop_path=loop_path)
+
+    # keyframe 0's inactive surfels rotated despite unchanged translation
+    pb = slabs_before[0]
+    pa = m.pool.slabs[0]["position"]
+    np.testing.assert_allclose(pa, pb @ R[:3, :3].T, atol=1e-4)
+    for kf in m.graph.keyframes[:-1]:
+        np.testing.assert_allclose(kf.cam_pose, kf.loop_pose)

@@ -331,3 +331,105 @@ def test_uniqueness_gate_monotone(stereo_pair):
 def test_census_radius_bound():
     with pytest.raises(ValueError, match="radius"):
         stereo._census(jnp.zeros((8, 8)), 3)
+
+
+def test_sgm_right_wta_bf16_shear_vs_f32_oracle(stereo_pair):
+    """Pins the intentional bf16 shear in the right-image WTA (ADVICE r2).
+
+    models/stereo.py casts the aggregated volume to bf16 for the gather-free
+    right-WTA shear while the left WTA/argmin runs f32; near-tie disparities
+    can resolve differently on the two sides and flip the LR gate.  This
+    compares the production shear against an all-f32 take_along_axis oracle
+    and pins the accepted LR-validity flip rate.
+    """
+    import jax
+
+    cfg, left, _, right = stereo_pair
+    scfg = stereo.StereoConfig(max_disparity=64, min_disparity=1, radius=3,
+                               aggregation="sgm", cost="census")
+    l, r = jnp.asarray(left), jnp.asarray(right)
+    vol = stereo._cost_volume(l, r, scfg)
+    agg = np.asarray(stereo._sgm_aggregate(
+        vol, scfg.sgm_p1, scfg.sgm_p2, scfg.sgm_paths, False),
+        np.float32)                           # (D, H, W); plane k <-> d=k+min
+    D, h, w = agg.shape
+    dL = np.argmin(agg, axis=0).astype(np.int32) + scfg.min_disparity
+
+    # production bf16 shear (mirror of _disparity_sgm's right WTA)
+    w2 = w + D + scfg.min_disparity + 1
+    sh = jnp.pad(jnp.asarray(agg).astype(jnp.bfloat16),
+                 ((0, 0), (0, 0), (0, w2 - w)), constant_values=np.inf)
+    sh = jnp.moveaxis(sh, 0, 1).reshape(h, D * w2)
+    sh = jnp.pad(sh, ((0, 0), (0, D)), constant_values=np.inf)
+    volR = sh.reshape(h, D, w2 + 1)[:, :, scfg.min_disparity:
+                                    scfg.min_disparity + w]
+    bestR_bf16 = np.asarray(jnp.argmin(volR, axis=1),
+                            np.int32) + scfg.min_disparity
+
+    # f32 oracle: costR(y, x, k) = costL(y, x + k + min_d, k)
+    volR_f32 = np.full((h, D, w), np.inf, np.float32)
+    for k in range(D):
+        shift = k + scfg.min_disparity
+        if shift < w:
+            volR_f32[:, k, :w - shift] = agg[k, :, shift:]
+    bestR_f32 = volR_f32.argmin(axis=1).astype(np.int32) + scfg.min_disparity
+
+    def lr_mask(bestR):
+        xl = np.arange(w)[None, :] - dL
+        dR_at = np.take_along_axis(bestR, np.clip(xl, 0, w - 1), axis=1)
+        return (xl >= 0) & (np.abs(dR_at - dL) <= scfg.lr_threshold)
+
+    m_bf16, m_f32 = lr_mask(bestR_bf16), lr_mask(bestR_f32)
+    flip = (m_bf16 != m_f32).mean()
+    assert flip < 0.02, f"LR-validity flip rate {flip:.4f} vs f32 oracle"
+    # flips must be confined to near-ties: where the right-WTA winner
+    # differs, the f32 cost gap between the two candidates is within the
+    # bf16 quantization of the cost scale
+    diff = bestR_bf16 != bestR_f32
+    if diff.any():
+        yy, xx = np.nonzero(diff)
+        c_bf = volR_f32[yy, bestR_bf16[diff] - scfg.min_disparity, xx]
+        c_f3 = volR_f32[yy, bestR_f32[diff] - scfg.min_disparity, xx]
+        finite = np.isfinite(c_bf) & np.isfinite(c_f3)
+        gap = np.abs(c_bf[finite] - c_f3[finite])
+        rel = gap / np.maximum(np.maximum(c_bf[finite], c_f3[finite]), 1e-6)
+        assert rel.max() < 1.0 / 64, f"non-tie flip: rel gap {rel.max()}"
+
+
+def test_census_fused_matches_materialized(stereo_pair):
+    """census_aggregate (cost computed in-kernel from census images) must
+    reproduce the materialized-volume aggregation bitwise — same DP, same
+    bf16-rounded mask constants, no cost volume in HBM."""
+    cfg, left, _, right = stereo_pair
+    l, r = jnp.asarray(left), jnp.asarray(right)
+    from densesurfelmapping_tpu.ops.pallas.sgm import census_aggregate
+
+    for paths, min_d in ((8, 1), (4, 1), (8, 3)):
+        scfg = stereo.StereoConfig(max_disparity=64, min_disparity=min_d,
+                                   aggregation="sgm", cost="census",
+                                   sgm_paths=paths)
+        vol = stereo._cost_volume(l, r, scfg)
+        want = np.asarray(stereo._sgm_aggregate(
+            vol, scfg.sgm_p1, scfg.sgm_p2, paths, True))
+        v_rolls = (0,) if paths == 4 else (0, 1, -1)
+        got = np.asarray(census_aggregate(
+            stereo._census(l, scfg.census_radius),
+            stereo._census(r, scfg.census_radius),
+            v_rolls, scfg.sgm_p1, scfg.sgm_p2, min_d,
+            scfg.max_disparity - min_d))
+        np.testing.assert_array_equal(got, want,
+                                      err_msg=f"paths={paths} min_d={min_d}")
+
+
+def test_fused_census_disparity_end_to_end(stereo_pair):
+    """The sgm_fused_census pipeline flag produces the identical disparity
+    map to the materialized-volume pipeline."""
+    cfg, left, _, right = stereo_pair
+    l, r = jnp.asarray(left), jnp.asarray(right)
+    base = dict(max_disparity=64, min_disparity=1, radius=3,
+                aggregation="sgm", cost="census", sgm_paths=8)
+    d_fused = np.asarray(stereo.jitted_disparity(
+        stereo.StereoConfig(sgm_fused_census=True, **base))(l, r))
+    d_mat = np.asarray(stereo.jitted_disparity(
+        stereo.StereoConfig(sgm_fused_census=False, **base))(l, r))
+    np.testing.assert_array_equal(d_fused, d_mat)
