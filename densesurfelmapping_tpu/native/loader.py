@@ -32,7 +32,7 @@ def build(force: bool = False) -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-mf16c",
-             "-o", _SO, _SRC],
+             "-pthread", "-o", _SO, _SRC],
             check=True, capture_output=True)
         return True
     except (OSError, subprocess.CalledProcessError):
@@ -65,6 +65,20 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.dsm_pack_frame.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8)]
+        if hasattr(lib, "dsm_pack_frames"):
+            lib.dsm_pack_frames.restype = ctypes.c_int
+            lib.dsm_pack_frames.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8)]
+        if hasattr(lib, "dsm_pack_frames_ptrs"):
+            lib.dsm_pack_frames_ptrs.restype = ctypes.c_int
+            lib.dsm_pack_frames_ptrs.argtypes = [
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
         lib.dsm_bfs.restype = ctypes.c_int64
         lib.dsm_bfs.argtypes = [ctypes.POINTER(ctypes.c_int64)] * 2 \
             + [ctypes.c_int64] * 3 + [ctypes.POINTER(ctypes.c_int64)]
@@ -128,3 +142,51 @@ def pack_frame(img: np.ndarray, dep: np.ndarray) -> np.ndarray:
     if rc:
         raise RuntimeError("native pack_frame failed")
     return out
+
+
+def pack_frames(imgs: np.ndarray, deps: np.ndarray) -> np.ndarray:
+    """Batched encoder: (B, H, W) f32 intensity + depth -> (B, 3*H*W) u8,
+    one native thread per frame (see dsm_pack_frames).  Falls back to the
+    single-frame entry point when the library predates it."""
+    lib = _load()
+    imgs = np.ascontiguousarray(imgs, np.float32)
+    deps = np.ascontiguousarray(deps, np.float32)
+    b = imgs.shape[0]
+    n = imgs[0].size
+    out = np.empty((b, 3 * n), np.uint8)
+    if hasattr(lib, "dsm_pack_frames"):
+        rc = lib.dsm_pack_frames(_ptr(imgs, ctypes.c_float),
+                                 _ptr(deps, ctypes.c_float),
+                                 b, n, _ptr(out, ctypes.c_uint8))
+        if rc:
+            raise RuntimeError("native pack_frames failed")
+        return out
+    for k in range(b):
+        out[k] = pack_frame(imgs[k], deps[k])
+    return out
+
+
+def pack_frames_into(imgs, deps, out_rows) -> bool:
+    """Pack B frames (lists of (H, W) f32 arrays) straight into B
+    preallocated (3*H*W,) u8 destination views — no stacking copies.
+    Returns False when the native library lacks the entry point (caller
+    falls back)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "dsm_pack_frames_ptrs"):
+        return False
+    b = len(imgs)
+    imgs = [np.ascontiguousarray(i, np.float32) for i in imgs]
+    deps = [np.ascontiguousarray(d, np.float32) for d in deps]
+    n = imgs[0].size
+    for r in out_rows:
+        assert r.dtype == np.uint8 and r.size == 3 * n \
+            and r.flags["C_CONTIGUOUS"]
+    PF = ctypes.POINTER(ctypes.c_float)
+    PU = ctypes.POINTER(ctypes.c_uint8)
+    ip = (PF * b)(*[i.ctypes.data_as(PF) for i in imgs])
+    dp = (PF * b)(*[d.ctypes.data_as(PF) for d in deps])
+    op = (PU * b)(*[r.ctypes.data_as(PU) for r in out_rows])
+    rc = lib.dsm_pack_frames_ptrs(ip, dp, b, n, op)
+    if rc:
+        raise RuntimeError("native pack_frames_ptrs failed")
+    return True

@@ -29,8 +29,10 @@ PSMNet disparity (`kitti_publisher/scripts/publisher.py:36-41`).
 STATUS (round 3): DEFAULT backend, and for census cost the volume no
 longer materializes at all — `census_aggregate` (end of file) computes
 the Hamming cost inside the kernels from VMEM-resident census images
-(bitwise-equal to the materialized path; ran live in the round-3 verify
-drive).  Round-2 record for the materialized path: bitwise-equal to the
+(bitwise-equal to the materialized path on CPU; validated end-to-end on
+the real TPU by the round-3 stereo verify drive after the int32-SWAR
+fix — Mosaic lacks uint32->f32 casts).  Round-2 record for the
+materialized path: bitwise-equal to the
 scan backend on real TPU, 21.8 ms vs 29.5 ms for the full sgm8-census
 pipeline at KITTI size.  Getting there required taming the graph AROUND the kernel,
 not the kernel (5.5 + 8.0 ms in isolation all along): custom calls need
@@ -236,13 +238,15 @@ def _bf16_val(x: float) -> float:
 
 
 def _popcount32(v):
-    """SWAR popcount on u32 vectors (portable across Mosaic versions;
-    bitwise-identical to lax.population_count)."""
-    v = v - ((v >> jnp.uint32(1)) & jnp.uint32(0x55555555))
-    v = (v & jnp.uint32(0x33333333)) + ((v >> jnp.uint32(2))
-                                        & jnp.uint32(0x33333333))
-    v = (v + (v >> jnp.uint32(4))) & jnp.uint32(0x0F0F0F0F)
-    return (v * jnp.uint32(0x01010101)) >> jnp.uint32(24)
+    """SWAR popcount on int32 vectors holding NON-NEGATIVE values
+    (census codes use <= 24 bits, so arithmetic >> == logical >> at every
+    step; int32 because Mosaic lacks uint32<->float casts).  Bitwise-
+    identical to lax.population_count on the same values."""
+    v = v - ((v >> jnp.int32(1)) & jnp.int32(0x55555555))
+    v = (v & jnp.int32(0x33333333)) + ((v >> jnp.int32(2))
+                                       & jnp.int32(0x33333333))
+    v = (v + (v >> jnp.int32(4))) & jnp.int32(0x0F0F0F0F)
+    return (v * jnp.int32(0x01010101)) >> jnp.int32(24)
 
 
 def _shear_sublanes(B, lane, min_d):
@@ -388,8 +392,17 @@ def _census_call_x(Lw: int, Rh: int, Wext: int, n_cols: int, n_rows: int,
         ycol = jax.lax.broadcasted_iota(jnp.int32, (_LANES, Rh), 1)
         dreal = (_LANES - 1 - subl) + min_d          # reversed d layout
 
-        def cost_at(cl_ref, col, x_global):
-            S = crt_ref[pl.ds(x_global, _LANES), :]   # (128, Rh) u32
+        # ONE aligned (t_blk + 128, Rh) window per orientation per grid
+        # step covers every column's slice [x, x+128) — Mosaic requires
+        # dynamic sublane starts to be 8-aligned, and the per-block base
+        # b*t_blk provably is; per-column slices below are then static
+        base_f = pl.multiple_of(b * t_blk, t_blk)
+        base_b = pl.multiple_of((n_blk - 1 - b) * t_blk, t_blk)
+        Sf = crt_ref[pl.ds(base_f, t_blk + _LANES), :]
+        Sb = crt_ref[pl.ds(base_b, t_blk + _LANES), :]
+
+        def cost_at(cl_ref, S_all, col, x_global):
+            S = S_all[col:col + _LANES]               # (128, Rh) i32
             cost = _popcount32(S ^ cl_ref[col][None, :]).astype(jnp.float32)
             cost = jnp.where(dreal <= x_global, cost, bv)   # x - d < 0
             in_img = (dreal < n_d + min_d) & (ycol < n_rows) \
@@ -403,9 +416,9 @@ def _census_call_x(Lw: int, Rh: int, Wext: int, n_cols: int, n_rows: int,
 
         for col in range(t_blk):
             xf = b * t_blk + col
-            advance(cf_ref, cost_at(clf_ref, col, xf), of_ref, col)
+            advance(cf_ref, cost_at(clf_ref, Sf, col, xf), of_ref, col)
             xb = (n_blk - 1 - b) * t_blk + (t_blk - 1 - col)
-            advance(cb_ref, cost_at(clb_ref, t_blk - 1 - col, xb),
+            advance(cb_ref, cost_at(clb_ref, Sb, t_blk - 1 - col, xb),
                     ob_ref, t_blk - 1 - col)
 
     blk = (t_blk, Rh)
@@ -451,6 +464,10 @@ def census_aggregate(census_l: jnp.ndarray, census_r: jnp.ndarray,
     ((0,) = 4-path, (0, 1, -1) = 8-path)."""
     h, w = census_l.shape
     interp = _interpret()
+    # int32 views: census codes are <= 24 bits so the reinterpretation is
+    # value-preserving; Mosaic cannot cast uint32 to float32
+    census_l = census_l.astype(jnp.int32)
+    census_r = census_r.astype(jnp.int32)
 
     # --- x axis (transposed, d reversed on sublanes) ---
     lw = _round_up(w, t_blk)

@@ -51,6 +51,26 @@ from ..core.state import pack_frame
 from ..ops import warp as warp_ops
 from ..ops.fusion import compact_bank
 from ..parallel import multistream
+
+
+def _pack_batch(cfg, to_pack, bufs: np.ndarray) -> None:
+    """Encode every ready stream's frame straight into its row of the
+    (B, 3HW) upload buffer (`dsm_pack_frames_ptrs`: zero stacking copies;
+    one C++ thread per frame, which also overlaps on multi-core hosts —
+    the serialized per-stream pack was the dominant host slice of the
+    multi-session round on this 1-core container).  Falls back to
+    per-frame packing when native support or f32 dtypes are missing."""
+    from ..native import loader as native
+    imgs = [np.asarray(i) for _, i, _ in to_pack]
+    deps = [np.asarray(d) for _, _, d in to_pack]
+    rows = [bufs[k] for k, _, _ in to_pack]   # row VIEWS of the batch buffer
+    if (all(i.dtype == np.float32 for i in imgs)
+            and all(d.dtype == np.float32 for d in deps)
+            and native.available()
+            and native.pack_frames_into(imgs, deps, rows)):
+        return
+    for k, i, d in to_pack:
+        bufs[k] = pack_frame(cfg, i, d)
 from .fuse_step import fuse_frame_windowed_packed
 from .inactive_pool import FIELDS
 from .pose_graph import PoseGraph
@@ -294,6 +314,7 @@ class MultiSessionMapping:
         refs = np.zeros(self.n_streams, np.int32)
         masks = np.zeros((self.n_streams, cfg.max_keyframes), bool)
         fused_real = 0
+        to_pack = []          # (slot, image, depth) for one batched encode
         with self.timer.stage("prep"):
             for k, s in enumerate(self.sessions):
                 ready = self._session_ready_frame(s)
@@ -307,7 +328,10 @@ class MultiSessionMapping:
                 s.window[list(window)] = True
                 s.first_local = min(window) if window else 0
                 fuse_pose = s.graph.keyframes[ref].cam_pose @ rel
-                bufs[k] = dep if stereo else pack_frame(cfg, img, dep)
+                if stereo:
+                    bufs[k] = dep
+                else:
+                    to_pack.append((k, img, dep))
                 poses[k] = np.asarray(fuse_pose, np.float32)
                 refs[k] = ref
                 masks[k] = s.window
@@ -317,6 +341,8 @@ class MultiSessionMapping:
                 s.depth_buffer.popleft()
                 s.frames_fused += 1
                 fused_real += 1
+            if to_pack:
+                _pack_batch(cfg, to_pack, bufs)
 
         with self.timer.stage("upload"):
             bufs_d = jnp.asarray(bufs)

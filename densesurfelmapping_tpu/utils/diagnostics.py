@@ -74,8 +74,14 @@ def run_diagnostics(n_fuse: int = 15) -> Dict[str, float]:
 
     out: Dict[str, float] = {"backend": jax.default_backend()}
     out["dispatch_ms"] = round(probe_dispatch_ms(), 2)
+    # adaptive probe size: a quick 2 MB probe decides whether the link is
+    # healthy enough to afford the accurate 16 MB probe (in a degraded
+    # window the big buffer alone would take tens of seconds)
+    quick = probe_h2d_mbps(n_bytes=1 << 21,
+                           overhead_ms=out["dispatch_ms"])
     out["h2d_mbps"] = round(
-        probe_h2d_mbps(overhead_ms=out["dispatch_ms"]), 1)
+        probe_h2d_mbps(overhead_ms=out["dispatch_ms"])
+        if quick >= 200.0 else quick, 1)
 
     # 3) the real fuse step, chained (fresh upload per frame, like the
     # online driver), one fence at the end
