@@ -203,6 +203,29 @@ def pack_stereo_pair(config: SurfelMapConfig, left: np.ndarray,
     return np.concatenate(out)
 
 
+AUX_HEAD_BYTES = 72   # pose f32 (64) + frame index i32 (4) + bf f32 (4)
+
+
+def pack_aux(pose: np.ndarray, frame_index: int, window_mask: np.ndarray,
+             bf: float = 0.0) -> np.ndarray:
+    """Per-frame small-argument buffer: pose + frame index + stereo bf +
+    active-window mask as ONE (72 + max_keyframes,) u8 upload.
+
+    Every `jnp.asarray`/`device_put` is a relay round in dispatch-bound
+    regimes (CLAUDE.md); the windowed drivers previously shipped pose,
+    frame index, bf and mask as four separate tiny arrays per frame —
+    with this encoding a frame is exactly two H2D puts (frame buffer +
+    aux).  Decoded in-jit by `fuse_step.unpack_aux` (bitcasts)."""
+    mask = np.asarray(window_mask)
+    out = np.empty(AUX_HEAD_BYTES + mask.shape[0], np.uint8)
+    out[:64] = np.ascontiguousarray(
+        pose, np.float32).reshape(16).view(np.uint8)
+    out[64:68] = np.array([frame_index], np.int32).view(np.uint8)
+    out[68:72] = np.array([bf], np.float32).view(np.uint8)
+    out[72:] = mask.astype(np.uint8)
+    return out
+
+
 def valid_pixel_mask(config: SurfelMapConfig) -> np.ndarray:
     """Static (H_pad, W_pad) mask of pixels that exist in the raw image."""
     m = np.zeros((config.padded_height, config.padded_width), bool)

@@ -52,14 +52,14 @@ class DeviceResidentMapping(SurfelMapping):
     def _build_window_jits(self) -> None:
         """(Re)build the jitted programs whose signatures depend on
         config.max_keyframes; called again on keyframe-capacity growth."""
-        from .fuse_step import jitted_fuse_frame_windowed_packed
-        self._fuse_windowed = jitted_fuse_frame_windowed_packed(self.config)
+        from .fuse_step import jitted_fuse_frame_windowed_aux
+        self._fuse_windowed = jitted_fuse_frame_windowed_aux(self.config)
         if self._stereo_cfg is not None:
             self._build_stereo_jit()
 
     def _build_stereo_jit(self) -> None:
-        from .fuse_step import jitted_fuse_frame_stereo_windowed_packed
-        self._stereo_fuse = jitted_fuse_frame_stereo_windowed_packed(
+        from .fuse_step import jitted_fuse_frame_stereo_windowed_aux
+        self._stereo_fuse = jitted_fuse_frame_stereo_windowed_aux(
             self.config, self._stereo_cfg, self._stereo_filter)
 
     def _ensure_keyframe_capacity(self) -> None:
@@ -106,15 +106,17 @@ class DeviceResidentMapping(SurfelMapping):
     # fuse with window gating; fixed-schedule compaction; no stat reads
     # ------------------------------------------------------------------
     def _fuse_frame(self, image, depth, pose, ref_index: int) -> None:
-        from ..core.state import pack_frame
+        from ..core.state import pack_aux, pack_frame
         from .driver import _StereoPair
-        pose_dev = jnp.asarray(np.asarray(pose, np.float32).reshape(4, 4))
+        # pose/index/bf/window ride in ONE aux upload (pack_aux): a frame
+        # is exactly two H2D puts — each extra put is a relay round in
+        # dispatch-bound regimes
+        aux = pack_aux(pose, ref_index, self._window_np,
+                       bf=self._stereo_bf or 0.0)
         if isinstance(depth, _StereoPair):
             with self.timer.stage("dispatch"):
                 self.bank, stats = self._stereo_fuse(
-                    self.bank, jnp.asarray(depth.buf), pose_dev,
-                    jnp.int32(ref_index), jnp.float32(self._stereo_bf),
-                    jnp.asarray(self._window_np))
+                    self.bank, jnp.asarray(depth.buf), jnp.asarray(aux))
         else:
             # sub-stages of "fuse" so the host slice of the frame budget is
             # attributable (pack = native encoder; dispatch = async enqueue
@@ -123,8 +125,7 @@ class DeviceResidentMapping(SurfelMapping):
                 buf = pack_frame(self.config, image, depth)
             with self.timer.stage("dispatch"):
                 self.bank, stats = self._fuse_windowed(
-                    self.bank, jnp.asarray(buf), pose_dev,
-                    jnp.int32(ref_index), jnp.asarray(self._window_np))
+                    self.bank, jnp.asarray(buf), jnp.asarray(aux))
         self._stats_dev = stats
         self._host_rows = None
         self.frames_fused += 1

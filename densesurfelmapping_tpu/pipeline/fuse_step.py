@@ -246,6 +246,54 @@ def jitted_fuse_frame_stereo_windowed_packed(config: SurfelMapConfig,
                    donate_argnums=(0,))
 
 
+def unpack_aux(aux: jnp.ndarray):
+    """In-jit decode of `core.state.pack_aux`: (72 + P,) u8 ->
+    (pose (4,4) f32, frame_index i32, bf f32, window mask (P,) bool)."""
+    pose = jax.lax.bitcast_convert_type(
+        aux[:64].reshape(16, 4), jnp.float32).reshape(4, 4)
+    ref = jax.lax.bitcast_convert_type(
+        aux[64:68].reshape(1, 4), jnp.int32)[0]
+    bf = jax.lax.bitcast_convert_type(
+        aux[68:72].reshape(1, 4), jnp.float32)[0]
+    return pose, ref, bf, aux[72:].astype(bool)
+
+
+def fuse_frame_windowed_aux(config: SurfelMapConfig, bank: SurfelBank,
+                            buf: jnp.ndarray, aux: jnp.ndarray
+                            ) -> Tuple[SurfelBank, dict]:
+    """Windowed packed fuse step whose small per-frame arguments arrive in
+    ONE aux buffer (two H2D puts per frame instead of five)."""
+    pose, ref, _, mask = unpack_aux(aux)
+    img, dep = unpack_frame(config, buf)
+    return fuse_frame_windowed(config, bank, img, dep, pose, ref, mask)
+
+
+@functools.lru_cache(maxsize=4)
+def jitted_fuse_frame_windowed_aux(config: SurfelMapConfig):
+    return jax.jit(functools.partial(fuse_frame_windowed_aux, config),
+                   donate_argnums=(0,))
+
+
+def fuse_frame_stereo_windowed_aux(config: SurfelMapConfig, stereo_config,
+                                   filter_depth: bool, bank: SurfelBank,
+                                   buf: jnp.ndarray, aux: jnp.ndarray
+                                   ) -> Tuple[SurfelBank, dict]:
+    """Stereo-resident windowed fuse with the single aux upload."""
+    pose, ref, bf, mask = unpack_aux(aux)
+    return fuse_frame_stereo_windowed_packed(
+        config, stereo_config, filter_depth, bank, buf, pose, ref, bf,
+        mask)
+
+
+@functools.lru_cache(maxsize=4)
+def jitted_fuse_frame_stereo_windowed_aux(config: SurfelMapConfig,
+                                          stereo_config,
+                                          filter_depth: bool = True):
+    return jax.jit(functools.partial(fuse_frame_stereo_windowed_aux,
+                                     config, stereo_config, filter_depth),
+                   donate_argnums=(0,))
+
+
 def fuse_frames_scan(config: SurfelMapConfig, bank: SurfelBank,
                      images_u8: jnp.ndarray, depths_f16: jnp.ndarray,
                      poses: jnp.ndarray, frame_indices: jnp.ndarray
