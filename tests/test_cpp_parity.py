@@ -277,3 +277,62 @@ def test_cpp_two_frame_end_to_end(cpp):
     np.testing.assert_array_equal(
         np.asarray(bank.update_times[:n])[nn[close]],
         local["update_times"][close])
+
+
+def test_cpp_matches_jax_kitti_size(cpp):
+    """Full-scale (1241x376) C++ vs JAX segmentation parity.
+
+    Small shapes can hide real-scale defects (round 2: an XLA:TPU
+    miscompile appeared ONLY at KITTI size — CLAUDE.md), so one parity
+    point runs at the reference's production resolution.  The NumPy
+    oracle is too slow here; the compiled C++ binary IS the oracle.
+    """
+    from densesurfelmapping_tpu import kitti_config
+    from densesurfelmapping_tpu.io import synthetic
+
+    cfg = kitti_config(surfel_capacity=1024)
+    scene = synthetic.default_scene()
+    image, depth = scene.render(cfg, np.eye(4))
+
+    f = cpp.RefFusion(cfg.width, cfg.height,
+                      cfg.camera.fx, cfg.camera.fy,
+                      cfg.camera.cx, cfg.camera.cy,
+                      fuse_far=cfg.fuse_far, fuse_near=cfg.fuse_near)
+    f.fuse(0, image.astype(np.uint8), depth, np.eye(4))
+    cpp_assign, cpp_seeds = f.assignment(), CppSeeds(f.seeds())
+
+    pi, pd = pad_frame(cfg, image, depth)
+
+    def seg(i, d):
+        seeds, assignment = SPX.run_slic(cfg, i, d, use_pallas=False)
+        seeds, _ = NRM.compute_seed_planes(cfg, seeds, assignment, d)
+        return seeds, assignment
+
+    seeds, assign = jax.jit(seg)(jnp.asarray(pi), jnp.asarray(pd))
+    got_assign = remap_assignment(cfg, assign)
+    mismatch = (got_assign != cpp_assign).mean()
+    assert mismatch < 0.01, f"assignment mismatch ratio {mismatch}"
+
+    crop = seeds_to_ref_layout(cfg, seeds)
+    clean = np.ones(f.n_seeds, bool)
+    for s in np.unique(np.concatenate(
+            [got_assign[got_assign != cpp_assign],
+             cpp_assign[got_assign != cpp_assign]])):
+        if s >= 0:
+            clean[s] = False
+    mine_norm = crop(seeds.norm)
+    has_mine, has_cpp = mine_norm.any(1), cpp_seeds.norm.any(1)
+    agree = (has_mine == has_cpp) | ~clean
+    assert agree.mean() > 0.97, f"plane gate agreement {agree.mean()}"
+    both = clean & has_mine & has_cpp
+    assert both.sum() > 2000, "degenerate scene: too few fitted planes"
+    cosang = np.sum(mine_norm[both] * cpp_seeds.norm[both], axis=1)
+    assert np.all(cosang > 0.999), f"worst normal cos {cosang.min()}"
+    # positions within 2 cm at this scene's 5-30 m depth range
+    np.testing.assert_allclose(crop(seeds.pos)[both], cpp_seeds.pos[both],
+                               atol=2e-2)
+    # mean_depth only where BOTH sides fitted a plane: a gate disagreement
+    # (<=3% allowed above) leaves one side plane-projected and the other
+    # at the raw Newton mean — legitimately different values
+    np.testing.assert_allclose(crop(seeds.mean_depth)[both],
+                               cpp_seeds.mean_depth[both], atol=2e-2)
