@@ -53,6 +53,15 @@ class StereoConfig(NamedTuple):
     # the lax.scan path and measured 21.8 vs 29.5 ms at KITTI size on
     # v5e (experiments/sgm_bench.py); off-TPU it runs in interpret mode
     sgm_pallas: bool = True
+    # bf16 DP carries (census only): halves the vector registers and VMEM
+    # of the scanline DP — the axis kernels are VPU-bound, not HBM-bound
+    # (BASELINE round 3).  Census costs and the P1/P2 penalties are small
+    # integers, and a clamp at the in-volume BIG constant after every
+    # update keeps EVERY carry value exactly representable in bf16, so
+    # all backends remain bitwise-equal to each other in this mode; vs
+    # f32 carries the output differs only inside BIG transition bands
+    # that the validity gates already reject (pinned by tests)
+    sgm_carry_bf16: bool = False
     # matching cost for the SGM volume: "sad" (box-aggregated abs diff) or
     # "census" (Hamming distance of 5x5 census transforms — radiometrically
     # robust, integer costs <= 24, the production SGM standard)
@@ -105,6 +114,9 @@ def _shift_left(img: jnp.ndarray, d: int, fill: float) -> jnp.ndarray:
 
 
 _SGM_BIG = 1e4   # finite out-of-range cost (SGM adds bounded penalties)
+# the value a bf16 round-trip of _SGM_BIG yields (= what the kernels read
+# back from the bf16 volume); also the carry clamp of sgm_carry_bf16 mode
+_SGM_BIG_BF16 = 9984.0
 
 
 def _census(img: jnp.ndarray, r: int) -> jnp.ndarray:
@@ -199,18 +211,24 @@ def _cost_volume_scan(left: jnp.ndarray, right: jnp.ndarray,
 
 
 def _sgm_dp(L_prev: jnp.ndarray, c: jnp.ndarray, p1: float,
-            p2: float) -> jnp.ndarray:
+            p2: float, clamp: float | None = None) -> jnp.ndarray:
     """One scanline-DP update over the trailing disparity axis; L_prev and
-    c are (..., D) f32 (leading axes batch directions/stripes/rows)."""
+    c are (..., D) f32 — or bf16 with `clamp` set (sgm_carry_bf16: the
+    clamp at the BIG constant keeps every carry bf16-exact)."""
     nd = L_prev.ndim
+    dt = L_prev.dtype
     Lmin = jnp.min(L_prev, axis=-1, keepdims=True)
     pad_lo = [(0, 0)] * (nd - 1) + [(1, 0)]
     pad_hi = [(0, 0)] * (nd - 1) + [(0, 1)]
     dm = jnp.pad(L_prev, pad_lo, constant_values=np.inf)[..., :-1]  # d-1
     dp = jnp.pad(L_prev, pad_hi, constant_values=np.inf)[..., 1:]   # d+1
-    cand = jnp.minimum(jnp.minimum(L_prev, jnp.minimum(dm, dp) + p1),
-                       Lmin + p2)
-    return c + cand - Lmin
+    cand = jnp.minimum(jnp.minimum(L_prev, jnp.minimum(dm, dp) + dt.type(p1)),
+                       Lmin + dt.type(p2))
+    if clamp is None:
+        return c + cand - Lmin          # original f32 grouping, unchanged
+    # bf16 mode: cand - Lmin FIRST (an all-BIG carry contributes exactly
+    # 0), then clamp so BIG stays exactly BIG
+    return jnp.minimum(c + (cand - Lmin), dt.type(clamp))
 
 
 def _roll_carry(c: jnp.ndarray, roll: int) -> jnp.ndarray:
@@ -225,7 +243,8 @@ def _roll_carry(c: jnp.ndarray, roll: int) -> jnp.ndarray:
     return c.at[..., -1, :].set(0.0)
 
 
-def _axis_scan(v: jnp.ndarray, rolls, p1: float, p2: float) -> jnp.ndarray:
+def _axis_scan(v: jnp.ndarray, rolls, p1: float, p2: float,
+               carry_bf16: bool = False) -> jnp.ndarray:
     """Sum of all 2*len(rolls) SGM path responses along one scan axis.
 
     v: (L, R, D) cost volume oriented so the axis being scanned is axis 0;
@@ -247,15 +266,24 @@ def _axis_scan(v: jnp.ndarray, rolls, p1: float, p2: float) -> jnp.ndarray:
     tests/test_stereo.py::test_sgm_axis_scan_matches_oracle)."""
     g = len(rolls)
 
+    cdt = jnp.bfloat16 if carry_bf16 else jnp.float32
+    clamp = _SGM_BIG_BF16 if carry_bf16 else None
+
     def one_dir(reverse):
         def step(carry, cost):
-            # carry: (G, R, D) f32; cost: (R, D)
+            # carry: (G, R, D) f32 (bf16 + clamp in sgm_carry_bf16 mode)
             rolled = jnp.stack(
                 [_roll_carry(carry[k], rolls[k]) for k in range(g)])
-            nxt = _sgm_dp(rolled, cost[None].astype(jnp.float32), p1, p2)
-            return nxt, jnp.sum(nxt, axis=0).astype(jnp.bfloat16)
+            nxt = _sgm_dp(rolled, cost[None].astype(cdt), p1, p2,
+                          clamp=clamp)
+            # sequential adds in carry dtype: matches the pallas kernel's
+            # accumulation order bit-for-bit (jnp.sum may reduce in f32)
+            tot = nxt[0]
+            for k in range(1, g):
+                tot = tot + nxt[k]
+            return nxt, tot.astype(jnp.bfloat16)
 
-        zeros = jnp.zeros((g,) + v.shape[1:], jnp.float32)
+        zeros = jnp.zeros((g,) + v.shape[1:], cdt)
         _, ys = jax.lax.scan(step, zeros, v, reverse=reverse)
         return ys.astype(jnp.float32)
 
@@ -263,7 +291,8 @@ def _axis_scan(v: jnp.ndarray, rolls, p1: float, p2: float) -> jnp.ndarray:
 
 
 def _sgm_aggregate(vol: jnp.ndarray, p1: float, p2: float, n_paths: int,
-                   use_pallas: bool = True) -> jnp.ndarray:
+                   use_pallas: bool = True,
+                   carry_bf16: bool = False) -> jnp.ndarray:
     """4- or 8-path semi-global aggregation of a (D, H, W) cost volume;
     returns the f32 summed volume.
 
@@ -281,13 +310,14 @@ def _sgm_aggregate(vol: jnp.ndarray, p1: float, p2: float, n_paths: int,
         scan = _axis_scan
 
     vh = jnp.transpose(vol, (2, 1, 0))          # (W, H, D): scan over x
-    agg = jnp.transpose(scan(vh, (0,), p1, p2), (2, 1, 0))
+    agg = jnp.transpose(scan(vh, (0,), p1, p2, carry_bf16=carry_bf16),
+                        (2, 1, 0))
 
     vv = jnp.transpose(vol, (1, 2, 0))          # (H, W, D): scan over y
     # (1,1)/(-1,1): previous pixel one column left -> roll +1;
     # (1,-1)/(-1,-1): one column right -> roll -1
     v_rolls = (0,) if n_paths == 4 else (0, 1, -1)
-    v_sum = scan(vv, v_rolls, p1, p2)
+    v_sum = scan(vv, v_rolls, p1, p2, carry_bf16=carry_bf16)
     return agg + jnp.transpose(v_sum, (2, 0, 1))
 
 
@@ -305,12 +335,15 @@ def _disparity_sgm(left: jnp.ndarray, right: jnp.ndarray,
         cr = _census(right, cfg.census_radius)
         v_rolls = (0,) if cfg.sgm_paths == 4 else (0, 1, -1)
         agg = census_aggregate(cl, cr, v_rolls, cfg.sgm_p1, cfg.sgm_p2,
-                               cfg.min_disparity, n_d)
+                               cfg.min_disparity, n_d,
+                               carry_bf16=cfg.sgm_carry_bf16)
     else:
         vol = (_cost_volume_scan if cfg.sgm_pallas
                else _cost_volume)(left, right, cfg)
         agg = _sgm_aggregate(vol, cfg.sgm_p1, cfg.sgm_p2, cfg.sgm_paths,
-                             cfg.sgm_pallas)
+                             cfg.sgm_pallas,
+                             carry_bf16=(cfg.sgm_carry_bf16
+                                         and cfg.cost == "census"))
     D = agg.shape[0]
 
     # Left WTA + sub-pixel WITHOUT take_along_axis: volume gathers measured

@@ -75,24 +75,32 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _dp_update(L_prev, cost, p1, p2):
-    """One DP step on (R, D) f32 blocks; lane rolls wrap the BIG pad lane
-    into the d boundaries (see module docstring)."""
+def _dp_update(L_prev, cost, p1, p2, clamp=None):
+    """One DP step on (R, D) blocks (f32, or bf16 with `clamp` — the
+    sgm_carry_bf16 mode, where clamping at the BIG constant keeps every
+    carry bf16-exact); lane rolls wrap the BIG pad lane into the d
+    boundaries (see module docstring)."""
+    dt = L_prev.dtype
     lmin = jnp.min(L_prev, axis=-1, keepdims=True)
     d = L_prev.shape[-1]
     dm = pltpu.roll(L_prev, 1, axis=1)      # from d-1 (lane 0 <- BIG pad)
     dp = pltpu.roll(L_prev, d - 1, axis=1)  # from d+1 (last lane <- pad)
-    cand = jnp.minimum(jnp.minimum(L_prev, jnp.minimum(dm, dp) + p1),
-                       lmin + p2)
+    cand = jnp.minimum(jnp.minimum(L_prev,
+                                   jnp.minimum(dm, dp) + dt.type(p1)),
+                       lmin + dt.type(p2))
     # grouping matters: cand - lmin FIRST, so an all-BIG carry (the
     # scan-axis pad) contributes exactly 0 — (cost + BIG) - BIG would
     # round the cost away at f32 ulp(1e9) = 64
-    return cost + (cand - lmin)
+    out = cost + (cand - lmin)
+    if clamp is not None:
+        out = jnp.minimum(out, dt.type(clamp))
+    return out
 
 
 @functools.lru_cache(maxsize=16)
 def _axis_call(L: int, R: int, D: int, n_real: int, rolls: tuple,
-               p1: float, p2: float, t_blk: int, interpret: bool):
+               p1: float, p2: float, t_blk: int, interpret: bool,
+               carry_bf16: bool = False):
     """pallas_call for one (L, R, D) axis scan; D == lane-padded width,
     L a multiple of t_blk.  Each grid step moves ONE (t_blk, R, D) block
     per orientation and advances the DP over its columns in VMEM —
@@ -100,6 +108,8 @@ def _axis_call(L: int, R: int, D: int, n_real: int, rolls: tuple,
     variant measured DMA-latency-bound at 1617 tiny blocks/frame)."""
     g = len(rolls)
     n_blk = L // t_blk
+    cdt = jnp.bfloat16 if carry_bf16 else jnp.float32
+    clamp = _SGM_BIG_F_BF16 if carry_bf16 else None
 
     def kernel(vf_ref, vb_ref, of_ref, ob_ref, cf_ref, cb_ref):
         b = pl.program_id(0)
@@ -110,7 +120,7 @@ def _axis_call(L: int, R: int, D: int, n_real: int, rolls: tuple,
             cb_ref[...] = jnp.zeros_like(cb_ref)
 
         def advance(carry_ref, cost_ref, out_ref, col):
-            cost = cost_ref[col].astype(jnp.float32)     # (R, D)
+            cost = cost_ref[col].astype(cdt)             # (R, D)
             total = None
             for k, roll in enumerate(rolls):
                 c = carry_ref[k]
@@ -127,7 +137,7 @@ def _axis_call(L: int, R: int, D: int, n_real: int, rolls: tuple,
                     at_border = (rowid == 0) if roll > 0 \
                         else (rowid >= n_real - 1)
                     c = jnp.where(at_border, 0.0, c)
-                nxt = _dp_update(c, cost, p1, p2)
+                nxt = _dp_update(c, cost, p1, p2, clamp=clamp)
                 carry_ref[k] = nxt
                 total = nxt if total is None else total + nxt
             out_ref[col] = total.astype(jnp.bfloat16)
@@ -157,8 +167,8 @@ def _axis_call(L: int, R: int, D: int, n_real: int, rolls: tuple,
             jax.ShapeDtypeStruct((L, R, D), jnp.bfloat16),
         ],
         scratch_shapes=[
-            pltpu.VMEM((g, R, D), jnp.float32),
-            pltpu.VMEM((g, R, D), jnp.float32),
+            pltpu.VMEM((g, R, D), cdt),
+            pltpu.VMEM((g, R, D), cdt),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -167,7 +177,8 @@ def _axis_call(L: int, R: int, D: int, n_real: int, rolls: tuple,
 
 
 def axis_scan_pallas(v: jnp.ndarray, rolls, p1: float, p2: float,
-                     t_blk: int = 16) -> jnp.ndarray:
+                     t_blk: int = 16,
+                     carry_bf16: bool = False) -> jnp.ndarray:
     """Drop-in replacement for `models/stereo._axis_scan`: sum of the
     2*len(rolls) SGM path responses along axis 0 of a (L, R, D) volume.
 
@@ -189,7 +200,8 @@ def axis_scan_pallas(v: jnp.ndarray, rolls, p1: float, p2: float,
                  constant_values=np.array(_BIG, v.dtype))
 
     call = _axis_call(l_pad, r_pad, d_pad, rows, tuple(rolls), float(p1),
-                      float(p2), int(t_blk), _interpret())
+                      float(p2), int(t_blk), _interpret(),
+                      carry_bf16=bool(carry_bf16))
     out_f, out_b = call(vp, vp)
     out = out_f.astype(jnp.float32) + out_b.astype(jnp.float32)
     return out[:length, :rows, :dd]
@@ -226,6 +238,9 @@ def axis_scan_pallas(v: jnp.ndarray, rolls, p1: float, p2: float,
 # ---------------------------------------------------------------------------
 
 _SGM_BIG_F = 1e4  # keep in sync with models/stereo._SGM_BIG
+# its bf16 round-trip — the in-volume BIG the kernels actually see, and
+# the carry clamp of sgm_carry_bf16 mode (models/stereo._SGM_BIG_BF16)
+_SGM_BIG_F_BF16 = 9984.0
 
 
 def _bf16_val(x: float) -> float:
@@ -263,7 +278,8 @@ def _shear_sublanes(B, lane, min_d):
 @functools.lru_cache(maxsize=16)
 def _census_call_y(Lh: int, Rw: int, n_rows: int, n_cols: int, n_d: int,
                    rolls: tuple, p1: float, p2: float, min_d: int,
-                   t_blk: int, interpret: bool):
+                   t_blk: int, interpret: bool,
+                   carry_bf16: bool = False):
     """Row-axis (vertical + diagonal) scans fed by census rows.
 
     Inputs: censusL, censusR as (Lh, Rw) u32 (row blocks per orientation).
@@ -273,6 +289,8 @@ def _census_call_y(Lh: int, Rw: int, n_rows: int, n_cols: int, n_d: int,
     n_blk = Lh // t_blk
     bv = _bf16_val(_SGM_BIG_F)   # in-volume out-of-range cost
     bp = _bf16_val(_BIG)         # axis padding
+    cdt = jnp.bfloat16 if carry_bf16 else jnp.float32
+    clamp = _SGM_BIG_F_BF16 if carry_bf16 else None
 
     def kernel(clf_ref, crf_ref, clb_ref, crb_ref, of_ref, ob_ref,
                cf_ref, cb_ref):
@@ -294,7 +312,8 @@ def _census_call_y(Lh: int, Rw: int, n_rows: int, n_cols: int, n_d: int,
             cost = jnp.where(xrow >= dreal, cost, bv)       # x - d < 0
             in_img = (lane < n_d) & (xrow < n_cols) \
                 & (y_global < n_rows)
-            return jnp.where(in_img, cost, bp)              # axis pads
+            # bf16-mode cast AFTER masking: every value round-trips exactly
+            return jnp.where(in_img, cost, bp).astype(cdt)  # axis pads
 
         def advance(carry_ref, cost, out_ref, col):
             total = None
@@ -306,7 +325,7 @@ def _census_call_y(Lh: int, Rw: int, n_rows: int, n_cols: int, n_d: int,
                     at_border = (rowid == 0) if roll > 0 \
                         else (rowid >= n_cols - 1)
                     c = jnp.where(at_border, 0.0, c)
-                nxt = _dp_update(c, cost, p1, p2)
+                nxt = _dp_update(c, cost, p1, p2, clamp=clamp)
                 carry_ref[k] = nxt
                 total = nxt if total is None else total + nxt
             out_ref[col] = total.astype(jnp.bfloat16)
@@ -343,8 +362,8 @@ def _census_call_y(Lh: int, Rw: int, n_rows: int, n_cols: int, n_d: int,
             jax.ShapeDtypeStruct((Lh, Rw, _LANES), jnp.bfloat16),
         ],
         scratch_shapes=[
-            pltpu.VMEM((g, Rw, _LANES), jnp.float32),
-            pltpu.VMEM((g, Rw, _LANES), jnp.float32),
+            pltpu.VMEM((g, Rw, _LANES), cdt),
+            pltpu.VMEM((g, Rw, _LANES), cdt),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -352,23 +371,29 @@ def _census_call_y(Lh: int, Rw: int, n_rows: int, n_cols: int, n_d: int,
     )
 
 
-def _dp_update_t(L_prev, cost, p1, p2):
+def _dp_update_t(L_prev, cost, p1, p2, clamp=None):
     """Transposed DP step on (128, R) blocks: d on SUBLANES, REVERSED
     (sublane i holds disparity min_d + 127 - i), so the d-1 neighbor is
     sublane i+1 and d+1 is sublane i-1 — same wrap-a-BIG-pad-lane trick
     as `_dp_update`, axes and roll amounts swapped."""
+    dt = L_prev.dtype
     lmin = jnp.min(L_prev, axis=0, keepdims=True)
     dm = pltpu.roll(L_prev, _LANES - 1, axis=0)   # out[i] = in[i+1] (d-1)
     dp = pltpu.roll(L_prev, 1, axis=0)            # out[i] = in[i-1] (d+1)
-    cand = jnp.minimum(jnp.minimum(L_prev, jnp.minimum(dm, dp) + p1),
-                       lmin + p2)
-    return cost + (cand - lmin)
+    cand = jnp.minimum(jnp.minimum(L_prev,
+                                   jnp.minimum(dm, dp) + dt.type(p1)),
+                       lmin + dt.type(p2))
+    out = cost + (cand - lmin)
+    if clamp is not None:
+        out = jnp.minimum(out, dt.type(clamp))
+    return out
 
 
 @functools.lru_cache(maxsize=16)
 def _census_call_x(Lw: int, Rh: int, Wext: int, n_cols: int, n_rows: int,
                    n_d: int, p1: float, p2: float, min_d: int,
-                   t_blk: int, interpret: bool):
+                   t_blk: int, interpret: bool,
+                   carry_bf16: bool = False):
     """Column-axis (horizontal) scans fed by TRANSPOSED census images.
 
     Inputs: censusL^T blocks (t_blk, Rh) u32 per orientation, plus the
@@ -379,6 +404,8 @@ def _census_call_x(Lw: int, Rh: int, Wext: int, n_cols: int, n_rows: int,
     n_blk = Lw // t_blk
     bv = _bf16_val(_SGM_BIG_F)
     bp = _bf16_val(_BIG)
+    cdt = jnp.bfloat16 if carry_bf16 else jnp.float32
+    clamp = _SGM_BIG_F_BF16 if carry_bf16 else None
 
     def kernel(clf_ref, clb_ref, crt_ref, of_ref, ob_ref, cf_ref, cb_ref):
         b = pl.program_id(0)
@@ -407,10 +434,10 @@ def _census_call_x(Lw: int, Rh: int, Wext: int, n_cols: int, n_rows: int,
             cost = jnp.where(dreal <= x_global, cost, bv)   # x - d < 0
             in_img = (dreal < n_d + min_d) & (ycol < n_rows) \
                 & (x_global < n_cols)
-            return jnp.where(in_img, cost, bp)
+            return jnp.where(in_img, cost, bp).astype(cdt)
 
         def advance(carry_ref, cost, out_ref, col):
-            nxt = _dp_update_t(carry_ref[0], cost, p1, p2)
+            nxt = _dp_update_t(carry_ref[0], cost, p1, p2, clamp=clamp)
             carry_ref[0] = nxt
             out_ref[col] = nxt.astype(jnp.bfloat16)
 
@@ -444,8 +471,8 @@ def _census_call_x(Lw: int, Rh: int, Wext: int, n_cols: int, n_rows: int,
             jax.ShapeDtypeStruct((Lw, _LANES, Rh), jnp.bfloat16),
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, _LANES, Rh), jnp.float32),
-            pltpu.VMEM((1, _LANES, Rh), jnp.float32),
+            pltpu.VMEM((1, _LANES, Rh), cdt),
+            pltpu.VMEM((1, _LANES, Rh), cdt),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -455,7 +482,8 @@ def _census_call_x(Lw: int, Rh: int, Wext: int, n_cols: int, n_rows: int,
 
 def census_aggregate(census_l: jnp.ndarray, census_r: jnp.ndarray,
                      v_rolls, p1: float, p2: float, min_d: int, n_d: int,
-                     t_blk: int = 16) -> jnp.ndarray:
+                     t_blk: int = 16,
+                     carry_bf16: bool = False) -> jnp.ndarray:
     """Full 4/8-path SGM aggregation STRAIGHT from (H, W) u32 census
     images; returns the f32 (D, H, W) aggregated volume, bitwise equal to
     `_sgm_aggregate(_cost_volume(...), ...)` with the pallas backend.
@@ -477,7 +505,8 @@ def census_aggregate(census_l: jnp.ndarray, census_r: jnp.ndarray,
     clt = jnp.pad(census_l.T, ((0, lw - w), (0, rh - h)))
     crt = jnp.pad(census_r.T, ((p_top, wext - p_top - w), (0, rh - h)))
     xcall = _census_call_x(lw, rh, wext, w, h, n_d, float(p1), float(p2),
-                           int(min_d), int(t_blk), interp)
+                           int(min_d), int(t_blk), interp,
+                           carry_bf16=bool(carry_bf16))
     xf, xb = xcall(clt, clt, crt)
     x_sum = xf.astype(jnp.float32) + xb.astype(jnp.float32)
     # (W, 128rev, H) -> (D, H, W): un-reverse d and transpose in one copy
@@ -489,7 +518,8 @@ def census_aggregate(census_l: jnp.ndarray, census_r: jnp.ndarray,
     cl = jnp.pad(census_l, ((0, lh - h), (0, rw - w)))
     cr = jnp.pad(census_r, ((0, lh - h), (0, rw - w)))
     ycall = _census_call_y(lh, rw, h, w, n_d, tuple(v_rolls), float(p1),
-                           float(p2), int(min_d), int(t_blk), interp)
+                           float(p2), int(min_d), int(t_blk), interp,
+                           carry_bf16=bool(carry_bf16))
     yf, yb = ycall(cl, cr, cl, cr)
     y_sum = yf.astype(jnp.float32) + yb.astype(jnp.float32)
     return agg + jnp.transpose(y_sum[:h, :w, :n_d], (2, 0, 1))

@@ -51,14 +51,17 @@ def main(iters: int = 15):
         return out
 
     outs = {}
-    for use_pallas, fused in ((True, True), (True, False), (False, False)):
-        tag = ("pallas-fused" if fused else
-               "pallas" if use_pallas else "lax.scan")
+    variants = (("pallas-fused-bf16", True, True, True),
+                ("pallas-fused", True, True, False),
+                ("pallas", True, False, False),
+                ("lax.scan", False, False, False))
+    for tag, use_pallas, fused, bf16 in variants:
         scfg = stereo.StereoConfig(max_disparity=128, min_disparity=1,
                                    radius=4, aggregation="sgm",
                                    cost="census", sgm_paths=8,
                                    sgm_pallas=use_pallas,
-                                   sgm_fused_census=fused)
+                                   sgm_fused_census=fused,
+                                   sgm_carry_bf16=bf16)
         outs[tag] = np.asarray(stereo.jitted_disparity(scfg)(l, r))
         # only the FULL pipeline is timed: sliced-output sub-stage chains
         # measured nonsense (tiny outputs defeat the chain methodology)

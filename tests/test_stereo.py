@@ -433,3 +433,51 @@ def test_fused_census_disparity_end_to_end(stereo_pair):
     d_mat = np.asarray(stereo.jitted_disparity(
         stereo.StereoConfig(sgm_fused_census=False, **base))(l, r))
     np.testing.assert_array_equal(d_fused, d_mat)
+
+
+def test_sgm_bf16_carries_cross_backend_and_accuracy(stereo_pair):
+    """sgm_carry_bf16 mode: all three aggregation backends stay bitwise-
+    equal to EACH OTHER (the clamp keeps every carry bf16-exact), and the
+    resulting disparity map is accuracy-equivalent to f32 carries (they
+    differ only in BIG transition bands the gates reject)."""
+    cfg, left, true_depth, right = stereo_pair
+    l, r = jnp.asarray(left), jnp.asarray(right)
+    from densesurfelmapping_tpu.ops.pallas.sgm import census_aggregate
+
+    base = dict(max_disparity=64, min_disparity=1, radius=3,
+                aggregation="sgm", cost="census", sgm_paths=8)
+    scfg = stereo.StereoConfig(sgm_carry_bf16=True, **base)
+    cl = stereo._census(l, scfg.census_radius)
+    cr = stereo._census(r, scfg.census_radius)
+    vol = stereo._cost_volume(l, r, scfg)
+
+    agg_scan = np.asarray(stereo._sgm_aggregate(
+        vol, scfg.sgm_p1, scfg.sgm_p2, 8, use_pallas=False,
+        carry_bf16=True))
+    agg_pal = np.asarray(stereo._sgm_aggregate(
+        vol, scfg.sgm_p1, scfg.sgm_p2, 8, use_pallas=True,
+        carry_bf16=True))
+    agg_fused = np.asarray(census_aggregate(
+        cl, cr, (0, 1, -1), scfg.sgm_p1, scfg.sgm_p2, 1, 63,
+        carry_bf16=True))
+    np.testing.assert_array_equal(agg_pal, agg_scan)
+    np.testing.assert_array_equal(agg_fused, agg_pal)
+
+    # accuracy parity vs f32 carries on the real scene
+    d_bf16 = np.asarray(stereo.jitted_disparity(scfg)(l, r))
+    d_f32 = np.asarray(stereo.jitted_disparity(
+        stereo.StereoConfig(sgm_carry_bf16=False, **base))(l, r))
+    true_disp = np.where(true_depth > 0,
+                         CAM.fx * BASELINE / np.maximum(true_depth, 1e-6),
+                         0.0)
+    in_range = (true_disp >= 2.0) & (true_disp < 63.0)
+
+    flip = ((d_bf16 > 0) != (d_f32 > 0)).mean()
+    assert flip < 0.02, f"validity flip rate {flip}"
+
+    def med(d):
+        sel = (d > 0) & in_range
+        return np.median(np.abs(d[sel] - true_disp[sel]))
+    assert abs(med(d_bf16) - med(d_f32)) < 0.05, (med(d_bf16), med(d_f32))
+    both = (d_bf16 > 0) & (d_f32 > 0)
+    assert np.median(np.abs(d_bf16[both] - d_f32[both])) < 0.05
