@@ -456,6 +456,86 @@ def cmd_replay(args):
     return 0
 
 
+def cmd_serve(args):
+    """Live mapping server: the reference's `ros_node` as a socket service
+    (`ros_node.cpp:13-53` — subscribe, queue-decouple, fuse, shutdown-save).
+    Clients stream images/depths/stereo pairs/pose messages over the bridge
+    protocol (io/bridge.py) and can request saves/metrics mid-run."""
+    from .io.bridge import MappingServer
+
+    mapping, cfg = _build_mapping(args)
+    if args.stereo:
+        from .models.stereo import StereoConfig
+        mapping.enable_stereo(
+            bf=cfg.camera.fx * args.baseline,
+            stereo_config=StereoConfig(
+                max_disparity=args.max_disparity,
+                aggregation="sgm" if args.sgm else "box"))
+    address = args.socket if args.socket else (args.host, args.port)
+    autosave = (args.out + "_mesh.ply") if args.out else None
+    with MappingServer(mapping, address, queue_depth=args.queue_depth,
+                       autosave=autosave) as server:
+        bound = server.address
+        print(f"serving on {bound if isinstance(bound, str) else '%s:%d' % tuple(bound[:2])}",
+              flush=True)
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            print("interrupted - draining + saving")
+    print(f"bridge stats: {server.stats}")
+    if args.out:
+        _finish(mapping, cfg, args, None)
+    return 0
+
+
+def cmd_publish(args):
+    """Demo client: streams the synthetic scene to a `serve` process —
+    the two-process live topology of the reference (publisher node ->
+    mapping node, `kitti_publisher/scripts/publisher.py:15-71`)."""
+    import dataclasses
+    import json as _json
+
+    from .io import synthetic
+    from .io.bridge import MappingClient
+    from . import kitti_config
+
+    cfg = kitti_config()
+    cam_overrides = {k: getattr(args, k) for k in
+                     ("width", "height", "fx", "fy", "cx", "cy")
+                     if getattr(args, k, None) is not None}
+    if cam_overrides:
+        cfg = dataclasses.replace(
+            cfg, camera=dataclasses.replace(cfg.camera, **cam_overrides))
+    scene = synthetic.default_scene()
+    poses = (synthetic.loop_trajectory(args.frames, radius=10.0) if args.loop
+             else synthetic.forward_trajectory(args.frames, step=0.4))
+    address = args.socket if args.socket else (args.host, args.port)
+    t_last = 0.0
+    with MappingClient(address) as client:
+        for i, pose in enumerate(poses):
+            img, dep = scene.render(cfg, pose)
+            stamp = i / max(args.rate, 1e-9) if args.rate > 0 else float(i)
+            client.publish_pose(stamp, pose,
+                                is_keyframe=(i % args.kf_every == 0))
+            if args.stereo:
+                rp = np.array(pose, np.float64).copy()
+                rp[:3, 3] += rp[:3, 0] * args.baseline
+                rimg, _ = scene.render(cfg, rp)
+                client.publish_stereo(stamp, img, rimg)
+            else:
+                client.publish_image(stamp, img)
+                client.publish_depth(stamp, dep)
+            t_last = _throttle(args.rate, t_last)
+        print("metrics:", _json.dumps(
+            {k: round(float(v), 3) for k, v in
+             client.metrics()["metrics"].items()}))
+        if args.save:
+            print("saved:", client.save_map(args.save, what="mesh"))
+        if args.shutdown:
+            print("shutdown:", client.shutdown())
+    return 0
+
+
 def main(argv=None):
     from .utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -584,6 +664,45 @@ def main(argv=None):
     p.add_argument("--seq", type=int, default=0)
     p.add_argument("--max-frames", type=int, default=0)
     p.set_defaults(fn=cmd_replay)
+
+    def bridge_addr(p):
+        p.add_argument("--host", default="127.0.0.1")
+        p.add_argument("--port", type=int, default=7135)
+        p.add_argument("--socket", default="",
+                       help="unix-domain socket path (overrides host/port)")
+
+    p = sub.add_parser("serve", help="live mapping server over the socket "
+                       "bridge (the reference's ros_node as a service)")
+    common(p)
+    bridge_addr(p)
+    p.add_argument("--queue-depth", type=int, default=256,
+                   help="ingest queue bound; oldest frames drop when full "
+                        "(ros_node.cpp:24-31 queue semantics)")
+    p.add_argument("--stereo", action="store_true",
+                   help="expect stereo pairs; depth computed on-device")
+    p.add_argument("--baseline", type=float, default=0.54)
+    p.add_argument("--sgm", action="store_true")
+    p.add_argument("--max-disparity", type=int, default=128)
+    p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("publish", help="demo client: stream the synthetic "
+                       "scene to a `serve` process")
+    bridge_addr(p)
+    for name, typ in (("width", int), ("height", int), ("fx", float),
+                      ("fy", float), ("cx", float), ("cy", float)):
+        p.add_argument(f"--{name}", type=typ, default=None,
+                       help=f"camera {name} override (match the server's)")
+    p.add_argument("--frames", type=int, default=120)
+    p.add_argument("--rate", type=float, default=0.0)
+    p.add_argument("--kf-every", type=int, default=1)
+    p.add_argument("--loop", action="store_true")
+    p.add_argument("--stereo", action="store_true")
+    p.add_argument("--baseline", type=float, default=0.54)
+    p.add_argument("--save", default="", help="ask the server to save a "
+                   "mesh here when done (the save_map topic)")
+    p.add_argument("--shutdown", action="store_true",
+                   help="request server shutdown when done")
+    p.set_defaults(fn=cmd_publish)
 
     args = ap.parse_args(argv)
     if getattr(args, "trace", ""):
