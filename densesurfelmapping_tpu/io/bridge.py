@@ -224,6 +224,11 @@ class MappingServer:
         self.driver = driver
         self.autosave = autosave
         self._queue: "queue.Queue" = queue.Queue(maxsize=queue_depth)
+        # messages accepted but not yet fused or dropped; tracked separately
+        # from the queue because a message popped by the fuse thread is
+        # still "pending" until its feed_* returns — _drain must cover it
+        self._pending = 0
+        self._pending_cv = threading.Condition()
         # the driver is not thread-safe: the fuse thread and control
         # requests (save/metrics run on the reader thread) serialize here
         self._drv_lock = threading.Lock()
@@ -301,6 +306,8 @@ class MappingServer:
                 raise ValueError(f"unknown bridge message type {mtype}")
 
     def _enqueue(self, mtype: int, payload: bytes) -> None:
+        with self._pending_cv:
+            self._pending += 1
         while True:
             try:
                 self._queue.put_nowait((mtype, payload))
@@ -314,6 +321,7 @@ class MappingServer:
                         # queue is all poses and the incoming message is a
                         # frame: drop the incoming frame instead
                         self.stats["dropped_frames"] += 1
+                        self._dec_pending()
                         return
                     # all-pose queue + incoming pose: sacrifice the oldest
                     self._drop_oldest(any_type=True)
@@ -330,6 +338,7 @@ class MappingServer:
                 if not dropped and (any_type or item[0] != T_POSE):
                     dropped = True
                     self.stats["dropped_frames"] += 1
+                    self._dec_pending()
                 else:
                     kept.append(item)
         except queue.Empty:
@@ -353,6 +362,13 @@ class MappingServer:
                 # reference's callbacks likewise log and continue)
                 self.stats["errors"] = self.stats.get("errors", 0) + 1
                 self.stats["last_error"] = f"{type(e).__name__}: {e}"
+            finally:
+                self._dec_pending()
+
+    def _dec_pending(self) -> None:
+        with self._pending_cv:
+            self._pending -= 1
+            self._pending_cv.notify_all()
 
     def _dispatch(self, mtype: int, payload: bytes) -> None:
         with self._drv_lock:
@@ -411,12 +427,12 @@ class MappingServer:
         return {"ok": False, "error": f"bad control type {mtype}"}
 
     def _drain(self, timeout: float = 120.0) -> None:
-        """Block until the fuse thread has consumed everything queued —
-        control replies must reflect all frames sent before the request."""
-        import time
-        deadline = time.monotonic() + timeout
-        while not self._queue.empty() and time.monotonic() < deadline:
-            time.sleep(0.005)
+        """Block until the fuse thread has consumed everything accepted —
+        control replies must reflect all frames sent before the request.
+        Covers in-flight messages too (popped from the queue but whose
+        feed_* has not returned), via the pending counter."""
+        with self._pending_cv:
+            self._pending_cv.wait_for(lambda: self._pending == 0, timeout)
 
 
 def _listen(address) -> socket.socket:

@@ -185,6 +185,52 @@ def test_queue_overflow_drops_frames_not_poses():
     assert fed_poses == sorted(fed_poses)
 
 
+class _WindowServer(bridge.MappingServer):
+    """Holds the fuse thread BETWEEN queue.get and the driver feed — the
+    exact window where the queue is empty but the message is not yet fused
+    (a queue-empty-based drain would wrongly return here)."""
+
+    window = None  # set after construction
+
+    def _dispatch(self, mtype, payload):
+        self.window.wait(30.0)
+        super()._dispatch(mtype, payload)
+
+
+def test_drain_covers_inflight_message():
+    cfg = tiny_config()
+    stub = _GatedDriver()
+    stub.gate.set()  # feeds themselves are instant; the hold is pre-feed
+    server = _WindowServer(stub, ("127.0.0.1", 0))
+    server.window = threading.Event()
+    try:
+        with bridge.MappingClient(tuple(server.address)) as client:
+            _serve_in_thread(server)
+            img, _ = render_plane(cfg, np.eye(4))
+            client.publish_image(0.0, img)
+            # wait until the message is in flight: popped (queue empty) but
+            # parked in the pre-feed window
+            deadline = time.monotonic() + 20
+            while ((server.stats["received"] < 1 or not server._queue.empty()
+                    or server._pending == 0) and time.monotonic() < deadline):
+                time.sleep(0.005)
+            assert server._queue.empty() and server._pending == 1
+            got = {}
+            t = threading.Thread(
+                target=lambda: got.update(client.metrics(drain=True)))
+            t.start()
+            time.sleep(0.3)
+            # drain must NOT have completed while the message is in flight
+            assert not got and not stub.calls
+            server.window.set()
+            t.join(30.0)
+            assert got["metrics"]["bridge_frames"] == 1
+            assert stub.calls == [("image", 0.0)]
+    finally:
+        server.window.set()
+        server.shutdown()
+
+
 def test_reconnect_resumes_live_map():
     cfg = tiny_config()
     served = SurfelMapping(cfg)
