@@ -24,8 +24,11 @@ sustained-throughput number — with the best segment recorded separately as
   landing in a degraded window (median below $DSM_BENCH_DEGRADED_FPS,
   default 150 = 30x baseline) retries by RE-EXECING a fresh process
   (fresh dispatch state, warm persistent jit cache), up to
-  $DSM_BENCH_MAX_RETRIES (default 3) times, 60 s apart, finally
-  reporting the best attempt (`attempts: n`).
+  $DSM_BENCH_MAX_RETRIES (default 5) times with doubling backoff
+  (60 s, 120, 240, 480, capped at 900 — ~31 min total, sized to the
+  observed multi-hour relay collapses where 60 s retries all landed in
+  the same bad window), finally reporting the best attempt
+  (`attempts: n`).
 """
 
 import json
@@ -36,7 +39,7 @@ import time
 import numpy as np
 
 DEGRADED_FPS = float(os.environ.get("DSM_BENCH_DEGRADED_FPS", "150"))
-MAX_RETRIES = int(os.environ.get("DSM_BENCH_MAX_RETRIES", "3"))
+MAX_RETRIES = int(os.environ.get("DSM_BENCH_MAX_RETRIES", "5"))
 
 
 def _median(xs):
@@ -131,13 +134,16 @@ def main(n_frames: int = 60, warmup: int = 3):
     result["attempts"] = attempt + 1
     if result["value"] < DEGRADED_FPS and attempt < MAX_RETRIES:
         # degraded relay window: hand the best-so-far to a FRESH process
-        # (fresh dispatch state; compiles come from the persistent cache)
+        # (fresh dispatch state; compiles come from the persistent cache).
+        # Backoff doubles per attempt — observed degradations last hours,
+        # so densely-spaced retries all sample the same bad window.
+        backoff = min(900, 60 * (2 ** attempt))
         print(f"# degraded window (median {fps:.1f} fps, attempt "
-              f"{attempt + 1}/{MAX_RETRIES + 1}); re-exec in 60s",
+              f"{attempt + 1}/{MAX_RETRIES + 1}); re-exec in {backoff}s",
               file=sys.stderr)
         os.environ["DSM_BENCH_ATTEMPT"] = str(attempt + 1)
         os.environ["DSM_BENCH_PREV"] = json.dumps(result)
-        time.sleep(60)
+        time.sleep(backoff)
         sys.stderr.flush()
         sys.stdout.flush()
         os.execv(sys.executable, [sys.executable, os.path.abspath(__file__),

@@ -49,9 +49,11 @@ def _build_mapping(args):
     if cam_overrides:
         cam = dataclasses.replace(cfg.camera, **cam_overrides)
         cfg = dataclasses.replace(cfg, camera=cam)
-    cls = SurfelMapping if getattr(args, "host_pool", False) \
-        else DeviceResidentMapping
-    return cls(cfg, kitti_alignment=args.kitti_alignment), cfg
+    if getattr(args, "host_pool", False):
+        return SurfelMapping(cfg, kitti_alignment=args.kitti_alignment), cfg
+    return DeviceResidentMapping(
+        cfg, kitti_alignment=args.kitti_alignment,
+        pipelined=getattr(args, "pipelined", False)), cfg
 
 
 def _finish(mapping, cfg, args, last_frame=None):
@@ -571,6 +573,11 @@ def main(argv=None):
         p.add_argument("--host-pool", action="store_true",
                        help="use the host-pool migration driver instead of "
                             "the device-resident window-mask driver")
+        p.add_argument("--pipelined", action="store_true",
+                       help="overlap each frame's host pack with the "
+                            "previous frame's dispatch (one-frame feed "
+                            "lag, identical map; device-resident driver "
+                            "only)")
         p.add_argument("--trace", default="",
                        help="write a jax.profiler trace of the run to this "
                             "directory (view in xprof/TensorBoard)")

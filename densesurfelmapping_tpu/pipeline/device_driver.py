@@ -28,6 +28,7 @@ Semantics match `SurfelMapping` exactly (equivalence-tested); readouts
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Optional
 
 import jax.numpy as jnp
@@ -42,12 +43,24 @@ from .pose_graph import PoseGraph
 
 class DeviceResidentMapping(SurfelMapping):
     def __init__(self, config: SurfelMapConfig,
-                 kitti_alignment: bool = False):
+                 kitti_alignment: bool = False,
+                 pipelined: bool = False):
         super().__init__(config, kitti_alignment)
         self._build_window_jits()
         self._window_np = np.zeros(config.max_keyframes, bool)
         self._first_local = 0
         self._host_rows: Optional[dict] = None   # readout cache
+        # pipelined feed: frame i's host pack (native encoder, GIL-free
+        # ctypes call) runs on a worker thread WHILE the main thread is
+        # blocked in frame i-1's dispatch/H2D relay round-trips — real
+        # parallelism even on a 1-core host, because the dispatch wait is
+        # network I/O, not CPU.  Dispatch lags the feed by one frame;
+        # every bank consumer flushes first (see _flush_pending callers),
+        # so observable semantics are identical (equivalence-tested).
+        self._pipelined = bool(pipelined)
+        self._pack_pool = (ThreadPoolExecutor(max_workers=1)
+                           if pipelined else None)
+        self._pending = None   # (packed-buf future, packed aux)
 
     def _build_window_jits(self) -> None:
         """(Re)build the jitted programs whose signatures depend on
@@ -74,6 +87,10 @@ class DeviceResidentMapping(SurfelMapping):
 
         if len(self.graph) <= self.config.max_keyframes:
             return
+        # a pending pipelined frame holds an aux packed at the OLD
+        # max_keyframes; it must dispatch through the old jit before the
+        # capacity (and jit signatures) change
+        self._flush_pending()
         new_p = self.config.max_keyframes
         while new_p < len(self.graph):
             new_p *= 2
@@ -114,28 +131,65 @@ class DeviceResidentMapping(SurfelMapping):
         aux = pack_aux(pose, ref_index, self._window_np,
                        bf=self._stereo_bf or 0.0)
         if isinstance(depth, _StereoPair):
+            self._flush_pending()   # dispatch order = feed order
             with self.timer.stage("dispatch"):
                 self.bank, stats = self._stereo_fuse(
                     self.bank, jnp.asarray(depth.buf), jnp.asarray(aux))
-        else:
-            # sub-stages of "fuse" so the host slice of the frame budget is
-            # attributable (pack = native encoder; dispatch = async enqueue
-            # incl. the h2d of the packed buffer)
-            with self.timer.stage("pack"):
-                buf = pack_frame(self.config, image, depth)
-            with self.timer.stage("dispatch"):
-                self.bank, stats = self._fuse_windowed(
-                    self.bank, jnp.asarray(buf), jnp.asarray(aux))
+            self._dispatched(stats)
+            return
+        if self._pipelined:
+            # submit THIS frame's pack to the worker, then dispatch the
+            # PREVIOUS frame: the pack overlaps the dispatch's relay waits
+            fut = self._pack_pool.submit(pack_frame, self.config,
+                                         image, depth)
+            self._flush_pending()
+            self._pending = (fut, aux)
+            return
+        # sub-stages of "fuse" so the host slice of the frame budget is
+        # attributable (pack = native encoder; dispatch = async enqueue
+        # incl. the h2d of the packed buffer)
+        with self.timer.stage("pack"):
+            buf = pack_frame(self.config, image, depth)
+        with self.timer.stage("dispatch"):
+            self.bank, stats = self._fuse_windowed(
+                self.bank, jnp.asarray(buf), jnp.asarray(aux))
+        self._dispatched(stats)
+
+    def _dispatched(self, stats) -> None:
         self._stats_dev = stats
         self._host_rows = None
         self.frames_fused += 1
         if self.frames_fused % self.config.compact_interval == 0:
             self._do_compact()
 
+    def _flush_pending(self) -> None:
+        """Dispatch the one in-flight pipelined frame, if any.  Called by
+        every consumer of `self.bank` (warp, readouts, checkpoint, stats)
+        and before any event that must be ordered after the frame."""
+        if self._pending is None:
+            return
+        fut, aux = self._pending
+        self._pending = None
+        with self.timer.stage("pack"):
+            buf = fut.result()
+        with self.timer.stage("dispatch"):
+            self.bank, stats = self._fuse_windowed(
+                self.bank, jnp.asarray(buf), jnp.asarray(aux))
+        self._dispatched(stats)
+
+    def flush(self) -> None:
+        """Public barrier: complete any pipelined in-flight frame."""
+        self._flush_pending()
+
+    def sync_stats(self):
+        self._flush_pending()
+        return super().sync_stats()
+
     # ------------------------------------------------------------------
     # loop warp: one whole-bank device pass
     # ------------------------------------------------------------------
     def _warp_surfels(self) -> None:
+        self._flush_pending()   # warp must see every fed frame fused
         # poses can run ahead of fused frames (the reference publishes
         # loop_path every frame), so capacity may need to grow HERE, not
         # just on the fuse path
@@ -157,6 +211,7 @@ class DeviceResidentMapping(SurfelMapping):
     # readouts: one bank transfer, split by the window mask
     # ------------------------------------------------------------------
     def _rows_host(self) -> dict:
+        self._flush_pending()
         if self._host_rows is None:
             arrs = {k: np.asarray(getattr(self.bank, k)) for k in FIELDS}
             n = int(np.asarray(self.bank.count))
@@ -192,6 +247,7 @@ class DeviceResidentMapping(SurfelMapping):
                    for k in FIELDS) / 1024.0
 
     def metrics(self) -> Dict[str, float]:
+        self._flush_pending()
         out = super().metrics()
         rows = self._rows_host()
         live = rows["update_times"] > 0
@@ -223,6 +279,7 @@ class DeviceResidentMapping(SurfelMapping):
 
     def load_checkpoint(self, path: str) -> None:
         from ..core.state import SurfelBank
+        self._pending = None   # restored state supersedes in-flight work
         z = np.load(path, allow_pickle=False)
         n = int(z["bank_count"])
         bank = SurfelBank.empty(self.config.surfel_capacity)

@@ -1,0 +1,60 @@
+#!/bin/bash
+# Healthy-relay-window watcher (round 3).
+#
+# The TPU relay degrades for hours at a time (CLAUDE.md); the round-3
+# measurement backlog (BENCH headline, SGM A/B, H2D A/B, host/multi
+# profiles) all need a healthy window.  This loop probes link health every
+# $PROBE_INTERVAL seconds and, the moment `diagnose` reports healthy:true,
+# runs the full capture battery sequentially (one TPU client at a time),
+# logging to $OUT.  Exits when the battery has run.
+#
+# Coordination (one-TPU-client rule): holds /tmp/dsm_tpu_busy while any
+# TPU process runs; waits while /tmp/dsm_cpu_busy exists (held by the
+# interactive session during pytest runs, which can wedge the relay if
+# concurrent with a TPU client).
+set -u
+cd /root/repo
+OUT=${OUT:-/root/repo/experiments/captures}
+PROBE_INTERVAL=${PROBE_INTERVAL:-900}
+mkdir -p "$OUT"
+echo $$ > /tmp/dsm_watch.pid
+
+probe() {
+    touch /tmp/dsm_tpu_busy
+    timeout 360 python -m densesurfelmapping_tpu diagnose 2>/dev/null \
+        | tail -1 > "$OUT/last_probe.json"
+    rm -f /tmp/dsm_tpu_busy
+    grep -q '"healthy": true' "$OUT/last_probe.json"
+}
+
+run_one() {  # name, timeout_s, cmd...
+    local name=$1 tmo=$2; shift 2
+    echo "=== $name $(date -u +%H:%M:%S) ===" | tee -a "$OUT/battery.log"
+    touch /tmp/dsm_tpu_busy
+    timeout "$tmo" "$@" > "$OUT/$name.log" 2>&1
+    local rc=$?
+    rm -f /tmp/dsm_tpu_busy
+    echo "rc=$rc" >> "$OUT/battery.log"
+    tail -3 "$OUT/$name.log" >> "$OUT/battery.log"
+}
+
+while true; do
+    while [ -e /tmp/dsm_cpu_busy ]; do sleep 15; done
+    ts=$(date -u +%Y-%m-%dT%H:%M:%S)
+    if probe; then
+        echo "$ts HEALTHY — running battery" >> "$OUT/watch.log"
+        DSM_BENCH_MAX_RETRIES=0 run_one bench 900 python bench.py 100
+        run_one h2d_ab 900 python experiments/h2d_ab.py 200
+        run_one sgm_bench 1200 python experiments/sgm_bench.py 15
+        run_one host_profile 900 python experiments/host_profile.py 120
+        run_one multi_profile 1200 python experiments/multi_profile.py
+        probe && echo "post-battery still healthy" >> "$OUT/watch.log" \
+              || echo "post-battery DEGRADED (discount tail items)" >> "$OUT/watch.log"
+        echo "$ts battery done" >> "$OUT/watch.log"
+        touch "$OUT/BATTERY_DONE"
+        exit 0
+    else
+        echo "$ts degraded: $(cat "$OUT/last_probe.json")" >> "$OUT/watch.log"
+    fi
+    sleep "$PROBE_INTERVAL"
+done
