@@ -203,6 +203,47 @@ def pack_stereo_pair(config: SurfelMapConfig, left: np.ndarray,
     return np.concatenate(out)
 
 
+def pack_frame_with_aux(config: SurfelMapConfig, image: np.ndarray,
+                        depth: np.ndarray, aux: np.ndarray) -> np.ndarray:
+    """`pack_frame` bytes followed by `pack_aux` bytes as ONE u8 buffer —
+    the whole per-frame payload in a SINGLE H2D put (each put is a relay
+    round in dispatch-bound regimes; this halves them vs frame+aux).
+    Decoded in-jit by `fuse_step.fuse_frame_onebuf`.
+
+    f32 frames encode straight into the output via the native batched
+    entry point (no concatenate copy); other dtypes fall back to
+    pack_frame + one copy."""
+    n = config.height * config.width
+    aux = np.asarray(aux, np.uint8)
+    out = np.empty(3 * n + aux.shape[0], np.uint8)
+    image = np.asarray(image)
+    depth = np.asarray(depth)
+    wrote = False
+    if image.dtype == np.float32 and depth.dtype == np.float32:
+        if image.shape != (config.height, config.width):
+            raise ValueError(f"frame shape {image.shape} != config camera "
+                             f"{(config.height, config.width)}")
+        from ..native import loader as native
+        if native.available():
+            wrote = native.pack_frames_into([image], [depth], [out[:3 * n]])
+    if not wrote:
+        out[:3 * n] = pack_frame(config, image, depth)
+    out[3 * n:] = aux
+    return out
+
+
+def pack_stereo_with_aux(config: SurfelMapConfig, pair_buf: np.ndarray,
+                         aux: np.ndarray) -> np.ndarray:
+    """`pack_stereo_pair` bytes followed by `pack_aux` bytes as ONE u8
+    buffer (single H2D put).  Decoded by
+    `fuse_step.fuse_frame_stereo_onebuf`."""
+    aux = np.asarray(aux, np.uint8)
+    out = np.empty(pair_buf.shape[0] + aux.shape[0], np.uint8)
+    out[:pair_buf.shape[0]] = pair_buf
+    out[pair_buf.shape[0]:] = aux
+    return out
+
+
 AUX_HEAD_BYTES = 72   # pose f32 (64) + frame index i32 (4) + bf f32 (4)
 
 

@@ -60,19 +60,19 @@ class DeviceResidentMapping(SurfelMapping):
         self._pipelined = bool(pipelined)
         self._pack_pool = (ThreadPoolExecutor(max_workers=1)
                            if pipelined else None)
-        self._pending = None   # (packed-buf future, packed aux)
+        self._pending = None   # future of the packed one-buffer payload
 
     def _build_window_jits(self) -> None:
         """(Re)build the jitted programs whose signatures depend on
         config.max_keyframes; called again on keyframe-capacity growth."""
-        from .fuse_step import jitted_fuse_frame_windowed_aux
-        self._fuse_windowed = jitted_fuse_frame_windowed_aux(self.config)
+        from .fuse_step import jitted_fuse_frame_onebuf
+        self._fuse_onebuf = jitted_fuse_frame_onebuf(self.config)
         if self._stereo_cfg is not None:
             self._build_stereo_jit()
 
     def _build_stereo_jit(self) -> None:
-        from .fuse_step import jitted_fuse_frame_stereo_windowed_aux
-        self._stereo_fuse = jitted_fuse_frame_stereo_windowed_aux(
+        from .fuse_step import jitted_fuse_frame_stereo_onebuf
+        self._stereo_fuse = jitted_fuse_frame_stereo_onebuf(
             self.config, self._stereo_cfg, self._stereo_filter)
 
     def _ensure_keyframe_capacity(self) -> None:
@@ -123,36 +123,39 @@ class DeviceResidentMapping(SurfelMapping):
     # fuse with window gating; fixed-schedule compaction; no stat reads
     # ------------------------------------------------------------------
     def _fuse_frame(self, image, depth, pose, ref_index: int) -> None:
-        from ..core.state import pack_aux, pack_frame
+        from ..core.state import (pack_aux, pack_frame_with_aux,
+                                  pack_stereo_with_aux)
         from .driver import _StereoPair
-        # pose/index/bf/window ride in ONE aux upload (pack_aux): a frame
-        # is exactly two H2D puts — each extra put is a relay round in
-        # dispatch-bound regimes
+        # the WHOLE per-frame payload (frame bytes + pose/index/bf/window
+        # aux) rides in ONE buffer = ONE H2D put — each put is a relay
+        # round in dispatch-bound regimes
         aux = pack_aux(pose, ref_index, self._window_np,
                        bf=self._stereo_bf or 0.0)
         if isinstance(depth, _StereoPair):
             self._flush_pending()   # dispatch order = feed order
+            with self.timer.stage("pack"):
+                buf = pack_stereo_with_aux(self.config, depth.buf, aux)
             with self.timer.stage("dispatch"):
-                self.bank, stats = self._stereo_fuse(
-                    self.bank, jnp.asarray(depth.buf), jnp.asarray(aux))
+                self.bank, stats = self._stereo_fuse(self.bank,
+                                                     jnp.asarray(buf))
             self._dispatched(stats)
             return
         if self._pipelined:
             # submit THIS frame's pack to the worker, then dispatch the
             # PREVIOUS frame: the pack overlaps the dispatch's relay waits
-            fut = self._pack_pool.submit(pack_frame, self.config,
-                                         image, depth)
+            fut = self._pack_pool.submit(pack_frame_with_aux, self.config,
+                                         image, depth, aux)
             self._flush_pending()
-            self._pending = (fut, aux)
+            self._pending = fut
             return
         # sub-stages of "fuse" so the host slice of the frame budget is
         # attributable (pack = native encoder; dispatch = async enqueue
         # incl. the h2d of the packed buffer)
         with self.timer.stage("pack"):
-            buf = pack_frame(self.config, image, depth)
+            buf = pack_frame_with_aux(self.config, image, depth, aux)
         with self.timer.stage("dispatch"):
-            self.bank, stats = self._fuse_windowed(
-                self.bank, jnp.asarray(buf), jnp.asarray(aux))
+            self.bank, stats = self._fuse_onebuf(self.bank,
+                                                 jnp.asarray(buf))
         self._dispatched(stats)
 
     def _dispatched(self, stats) -> None:
@@ -168,13 +171,13 @@ class DeviceResidentMapping(SurfelMapping):
         and before any event that must be ordered after the frame."""
         if self._pending is None:
             return
-        fut, aux = self._pending
+        fut = self._pending
         self._pending = None
         with self.timer.stage("pack"):
             buf = fut.result()
         with self.timer.stage("dispatch"):
-            self.bank, stats = self._fuse_windowed(
-                self.bank, jnp.asarray(buf), jnp.asarray(aux))
+            self.bank, stats = self._fuse_onebuf(self.bank,
+                                                 jnp.asarray(buf))
         self._dispatched(stats)
 
     def flush(self) -> None:

@@ -294,6 +294,43 @@ def jitted_fuse_frame_stereo_windowed_aux(config: SurfelMapConfig,
                    donate_argnums=(0,))
 
 
+def fuse_frame_onebuf(config: SurfelMapConfig, bank: SurfelBank,
+                      buf: jnp.ndarray) -> Tuple[SurfelBank, dict]:
+    """Windowed fuse step whose ENTIRE per-frame payload (packed frame +
+    aux) arrives as one buffer — a single H2D put per frame
+    (`core.state.pack_frame_with_aux`)."""
+    hw3 = 3 * config.height * config.width
+    frame = jax.lax.slice_in_dim(buf, 0, hw3)
+    aux = jax.lax.slice_in_dim(buf, hw3, buf.shape[0])
+    return fuse_frame_windowed_aux(config, bank, frame, aux)
+
+
+@functools.lru_cache(maxsize=4)
+def jitted_fuse_frame_onebuf(config: SurfelMapConfig):
+    return jax.jit(functools.partial(fuse_frame_onebuf, config),
+                   donate_argnums=(0,))
+
+
+def fuse_frame_stereo_onebuf(config: SurfelMapConfig, stereo_config,
+                             filter_depth: bool, bank: SurfelBank,
+                             buf: jnp.ndarray) -> Tuple[SurfelBank, dict]:
+    """Stereo-resident windowed fuse with the whole payload (packed pair +
+    aux) in one upload (`core.state.pack_stereo_with_aux`)."""
+    hw2 = 2 * config.height * config.width
+    pair = jax.lax.slice_in_dim(buf, 0, hw2)
+    aux = jax.lax.slice_in_dim(buf, hw2, buf.shape[0])
+    return fuse_frame_stereo_windowed_aux(config, stereo_config,
+                                          filter_depth, bank, pair, aux)
+
+
+@functools.lru_cache(maxsize=4)
+def jitted_fuse_frame_stereo_onebuf(config: SurfelMapConfig, stereo_config,
+                                    filter_depth: bool = True):
+    return jax.jit(functools.partial(fuse_frame_stereo_onebuf, config,
+                                     stereo_config, filter_depth),
+                   donate_argnums=(0,))
+
+
 def fuse_frames_scan(config: SurfelMapConfig, bank: SurfelBank,
                      images_u8: jnp.ndarray, depths_f16: jnp.ndarray,
                      poses: jnp.ndarray, frame_indices: jnp.ndarray

@@ -26,9 +26,11 @@ Serving lifecycle:
   (`save_cloud`/`save_mesh`, surfel_map.cpp:1153-1280).
 * stereo serving — `enable_stereo(bf)` switches the WHOLE fleet to raw
   stereo-pair input: the batched step runs the on-device front-end of
-  `fuse_step.fuse_frame_stereo_windowed_packed` per stream (padded
-  sessions ride an all-zero pair, which the textureless gate makes a
-  no-op).
+  `fuse_step.fuse_frame_stereo_onebuf` per stream (padded sessions ride
+  an all-zero pair, which the textureless gate makes a no-op).
+* uploads — a round's entire payload (B frames + B pose/ref/window aux
+  blocks) is ONE (B, frame_bytes + aux_bytes) u8 put per round; each
+  extra put is a relay round in dispatch-bound regimes.
 
 Measured: 4 sessions aggregate 802 frames/s on one v5e vs 624 fps for one.
 """
@@ -53,9 +55,9 @@ from ..ops.fusion import compact_bank
 from ..parallel import multistream
 
 
-def _pack_batch(cfg, to_pack, bufs: np.ndarray) -> None:
-    """Encode every ready stream's frame straight into its row of the
-    (B, 3HW) upload buffer (`dsm_pack_frames_ptrs`: zero stacking copies;
+def _pack_batch(cfg, to_pack, rows) -> None:
+    """Encode every ready stream's frame straight into its row view of the
+    batched upload buffer (`dsm_pack_frames_ptrs`: zero stacking copies;
     one C++ thread per frame, which also overlaps on multi-core hosts —
     the serialized per-stream pack was the dominant host slice of the
     multi-session round on this 1-core container).  Falls back to
@@ -63,32 +65,32 @@ def _pack_batch(cfg, to_pack, bufs: np.ndarray) -> None:
     from ..native import loader as native
     imgs = [np.asarray(i) for _, i, _ in to_pack]
     deps = [np.asarray(d) for _, _, d in to_pack]
-    rows = [bufs[k] for k, _, _ in to_pack]   # row VIEWS of the batch buffer
     if (all(i.dtype == np.float32 for i in imgs)
             and all(d.dtype == np.float32 for d in deps)
             and native.available()
             and native.pack_frames_into(imgs, deps, rows)):
         return
-    for k, i, d in to_pack:
-        bufs[k] = pack_frame(cfg, i, d)
-from .fuse_step import fuse_frame_windowed_packed
+    for (_, i, d), r in zip(to_pack, rows):
+        r[:] = pack_frame(cfg, i, d)
+from .fuse_step import fuse_frame_onebuf, fuse_frame_stereo_onebuf
 from .inactive_pool import FIELDS
 from .pose_graph import PoseGraph
 
 
 @functools.lru_cache(maxsize=4)
-def _batched_windowed_step(config: SurfelMapConfig):
+def _batched_onebuf_step(config: SurfelMapConfig):
+    """vmap of the one-payload fuse step: a whole round (B frames + B aux
+    blocks) is ONE H2D put + one dispatch — was four puts/round."""
     return jax.jit(
-        jax.vmap(functools.partial(fuse_frame_windowed_packed, config)),
+        jax.vmap(functools.partial(fuse_frame_onebuf, config)),
         donate_argnums=(0,))
 
 
 @functools.lru_cache(maxsize=4)
-def _batched_stereo_step(config: SurfelMapConfig, stereo_config,
-                         filter_depth: bool):
-    from .fuse_step import fuse_frame_stereo_windowed_packed
+def _batched_stereo_onebuf_step(config: SurfelMapConfig, stereo_config,
+                                filter_depth: bool):
     return jax.jit(
-        jax.vmap(functools.partial(fuse_frame_stereo_windowed_packed,
+        jax.vmap(functools.partial(fuse_frame_stereo_onebuf,
                                    config, stereo_config, filter_depth)),
         donate_argnums=(0,))
 
@@ -139,7 +141,7 @@ class MultiSessionMapping:
         self.flush_timeout = float(flush_timeout)
         self.sessions = [_Session(config) for _ in range(n_streams)]
         self.banks = multistream.make_banks(config, n_streams)
-        self._step = _batched_windowed_step(config)
+        self._step = _batched_onebuf_step(config)
         self._warp = _batched_warp(config)
         self._drop_accum = jnp.zeros((n_streams,), jnp.int32)
         self.stamp_tolerance = 1e-6
@@ -177,7 +179,7 @@ class MultiSessionMapping:
         self._stereo_cfg = stereo_config or StereoConfig()
         self._stereo_bf = float(bf)
         self._stereo_filter = bool(filter_depth)
-        self._stereo_step = _batched_stereo_step(
+        self._stereo_step = _batched_stereo_onebuf_step(
             self.config, self._stereo_cfg, self._stereo_filter)
 
     def feed_stereo(self, stream: int, stamp: float, left, right) -> None:
@@ -284,10 +286,10 @@ class MultiSessionMapping:
         while new_p < need:
             new_p *= 2
         self.config = dataclasses.replace(self.config, max_keyframes=new_p)
-        self._step = _batched_windowed_step(self.config)
+        self._step = _batched_onebuf_step(self.config)
         self._warp = _batched_warp(self.config)
         if self._stereo_cfg is not None:
-            self._stereo_step = _batched_stereo_step(
+            self._stereo_step = _batched_stereo_onebuf_step(
                 self.config, self._stereo_cfg, self._stereo_filter)
         for s in self.sessions:
             s.grow_window(new_p)
@@ -302,25 +304,28 @@ class MultiSessionMapping:
             raise RuntimeError("step() before step_ready(); "
                                "use flush=True to pad")
         self._ensure_keyframe_capacity()
+        from ..core.state import AUX_HEAD_BYTES, pack_aux
         cfg = self.config
         h, w = cfg.height, cfg.width
         stereo = self._stereo_cfg is not None
-        # stereo pads stay all-zero: constant images produce no valid
+        bf = self._stereo_bf or 0.0
+        # the whole round rides as ONE (B, frame_bytes + aux_bytes) u8
+        # payload = one H2D put (was four: bufs/poses/refs/masks).
+        # stereo frame pads stay all-zero: constant images produce no valid
         # disparities, so a padded session's step is a no-op by the same
         # textureless-rejection gate the matcher always applies
-        bufs = np.zeros((self.n_streams, (2 if stereo else 3) * h * w),
-                        np.uint8)
-        poses = np.tile(np.eye(4, dtype=np.float32), (self.n_streams, 1, 1))
-        refs = np.zeros(self.n_streams, np.int32)
-        masks = np.zeros((self.n_streams, cfg.max_keyframes), bool)
+        fb = (2 if stereo else 3) * h * w
+        payload = np.zeros(
+            (self.n_streams, fb + AUX_HEAD_BYTES + cfg.max_keyframes),
+            np.uint8)
+        eye = np.eye(4, dtype=np.float32)
         fused_real = 0
         to_pack = []          # (slot, image, depth) for one batched encode
         with self.timer.stage("prep"):
             for k, s in enumerate(self.sessions):
                 ready = self._session_ready_frame(s)
                 if ready is None:
-                    refs[k] = s.last_ref
-                    masks[k] = s.window
+                    payload[k, fb:] = pack_aux(eye, s.last_ref, s.window, bf)
                     continue
                 stamp, rel, ref, img, dep, _ = ready
                 window = s.graph.driftfree_window(ref, cfg.drift_free_poses)
@@ -329,12 +334,11 @@ class MultiSessionMapping:
                 s.first_local = min(window) if window else 0
                 fuse_pose = s.graph.keyframes[ref].cam_pose @ rel
                 if stereo:
-                    bufs[k] = dep
+                    payload[k, :fb] = dep
                 else:
                     to_pack.append((k, img, dep))
-                poses[k] = np.asarray(fuse_pose, np.float32)
-                refs[k] = ref
-                masks[k] = s.window
+                payload[k, fb:] = pack_aux(
+                    np.asarray(fuse_pose, np.float32), ref, s.window, bf)
                 s.last_ref = ref
                 s.pose_buffer.popleft()
                 s.image_buffer.popleft()
@@ -342,22 +346,16 @@ class MultiSessionMapping:
                 s.frames_fused += 1
                 fused_real += 1
             if to_pack:
-                _pack_batch(cfg, to_pack, bufs)
+                _pack_batch(cfg, to_pack,
+                            [payload[k, :fb] for k, _, _ in to_pack])
 
         with self.timer.stage("upload"):
-            bufs_d = jnp.asarray(bufs)
-            poses_d = jnp.asarray(poses)
-            refs_d = jnp.asarray(refs)
-            masks_d = jnp.asarray(masks)
+            payload_d = jnp.asarray(payload)
         with self.timer.stage("dispatch"):
             if stereo:
-                bf = np.full(self.n_streams, self._stereo_bf, np.float32)
-                self.banks, stats = self._stereo_step(
-                    self.banks, bufs_d, poses_d, refs_d,
-                    jnp.asarray(bf), masks_d)
+                self.banks, stats = self._stereo_step(self.banks, payload_d)
             else:
-                self.banks, stats = self._step(
-                    self.banks, bufs_d, poses_d, refs_d, masks_d)
+                self.banks, stats = self._step(self.banks, payload_d)
         if "n_dropped" in stats:
             # device-side accumulation (one tiny fused add, no readback)
             self._drop_accum = _accumulate()(self._drop_accum,
