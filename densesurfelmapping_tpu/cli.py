@@ -280,7 +280,8 @@ def cmd_multi(args):
     else:
         cfg = kitti_config(surfel_capacity=1 << args.capacity_log2)
     B = args.streams
-    multi = MultiSessionMapping(cfg, n_streams=B)
+    multi = MultiSessionMapping(cfg, n_streams=B,
+                                pipelined=getattr(args, "pipelined", False))
     if getattr(args, "stereo", False):
         from .models.stereo import StereoConfig
         multi.enable_stereo(bf=cfg.camera.fx * 0.54,

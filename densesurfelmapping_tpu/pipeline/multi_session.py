@@ -41,6 +41,7 @@ import collections
 import dataclasses
 import functools
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -135,7 +136,7 @@ class _Session:
 
 class MultiSessionMapping:
     def __init__(self, config: SurfelMapConfig, n_streams: int,
-                 flush_timeout: float = 0.1):
+                 flush_timeout: float = 0.1, pipelined: bool = False):
         self.config = config
         self.n_streams = n_streams
         self.flush_timeout = float(flush_timeout)
@@ -148,6 +149,18 @@ class MultiSessionMapping:
         self.rounds = 0
         from ..utils.timing import StageTimer
         self.timer = StageTimer()   # prep / upload / dispatch per round
+        # pipelined rounds: the upload+dispatch of round r runs on a worker
+        # thread while the main thread preps round r+1 (feeds, pose graphs,
+        # windows, batched pack) — the B-stream serialized host prep was
+        # the measured multi-session bottleneck on 1-core hosts (BASELINE).
+        # One-round lag; every bank consumer calls _flush_round first, so
+        # observable state is identical (tests pin equivalence).  Only the
+        # worker touches the device during a round's flight: the main
+        # thread waits on the future before any other device call.
+        self._pipelined = bool(pipelined)
+        self._dispatch_pool = (ThreadPoolExecutor(max_workers=1)
+                               if pipelined else None)
+        self._banks_fut = None
 
         # fleet-wide on-device stereo front-end (enable_stereo/feed_stereo)
         self._stereo_cfg = None
@@ -349,31 +362,65 @@ class MultiSessionMapping:
                 _pack_batch(cfg, to_pack,
                             [payload[k, :fb] for k, _, _ in to_pack])
 
+        step_fn = self._stereo_step if stereo else self._step
+        if self._pipelined:
+            # land the previous round, then hand this one to the worker:
+            # its upload/dispatch relay waits overlap the caller's next
+            # feeds and the next round's prep on the main thread
+            self._flush_round()
+            banks_in = self.banks
+            self.banks = None     # consumers must go through _flush_round
+
+            def job(banks_in=banks_in, payload=payload, step_fn=step_fn):
+                with self.timer.stage("upload"):
+                    payload_d = jnp.asarray(payload)
+                with self.timer.stage("dispatch"):
+                    return step_fn(banks_in, payload_d)
+
+            self._banks_fut = self._dispatch_pool.submit(job)
+            return fused_real
         with self.timer.stage("upload"):
             payload_d = jnp.asarray(payload)
         with self.timer.stage("dispatch"):
-            if stereo:
-                self.banks, stats = self._stereo_step(self.banks, payload_d)
-            else:
-                self.banks, stats = self._step(self.banks, payload_d)
+            self.banks, stats = step_fn(self.banks, payload_d)
+        self._post_dispatch(stats)
+        return fused_real
+
+    def _post_dispatch(self, stats) -> None:
         if "n_dropped" in stats:
             # device-side accumulation (one tiny fused add, no readback)
             self._drop_accum = _accumulate()(self._drop_accum,
                                              stats["n_dropped"])
         self.rounds += 1
-        if self.rounds % cfg.compact_interval == 0:
+        if self.rounds % self.config.compact_interval == 0:
             self.compact()
-        return fused_real
+
+    def _flush_round(self) -> None:
+        """Complete the one in-flight pipelined round, if any.  Every bank
+        consumer (compact, warps, session management, readouts, checkpoint)
+        calls this first — observable state matches the eager mode."""
+        if self._banks_fut is None:
+            return
+        fut = self._banks_fut
+        self._banks_fut = None
+        self.banks, stats = fut.result()
+        self._post_dispatch(stats)
+
+    def flush_rounds(self) -> None:
+        """Public barrier: complete any pipelined in-flight round."""
+        self._flush_round()
 
     def compact(self) -> None:
         """Batched hole-elimination repack of every session's bank
         (fixed-interval, zero-readback — the serving equivalent of
         DeviceResidentMapping's compaction schedule)."""
+        self._flush_round()
         self.banks = _batched_compact()(self.banks)
 
     def _flush_warps(self) -> None:
         """Apply pending loop-closure warps for every session in one
         batched device pass (identity for sessions without one)."""
+        self._flush_round()                 # warp orders after every fuse
         self._ensure_keyframe_capacity()    # warps can outrun fuses
         P = self.config.max_keyframes
         wstack = np.tile(np.eye(4, dtype=np.float32),
@@ -403,6 +450,7 @@ class MultiSessionMapping:
     # ------------------------------------------------------------------
     def add_session(self) -> int:
         """Attach a fresh session at runtime; returns its stream index."""
+        self._flush_round()
         new = multistream.make_banks(self.config, 1)
         self.banks = jax.tree.map(
             lambda a, b: jnp.concatenate([a, b], axis=0), self.banks, new)
@@ -415,7 +463,7 @@ class MultiSessionMapping:
     def remove_session(self, stream: int) -> dict:
         """Detach a session at runtime; returns its final map rows (the
         same selection `session_map_surfels` exports)."""
-        rows = self.session_map_surfels(stream)
+        rows = self.session_map_surfels(stream)   # flushes via _session_rows
         keep = [i for i in range(self.n_streams) if i != stream]
         self.banks = jax.tree.map(lambda a: a[np.asarray(keep)], self.banks)
         self._drop_accum = self._drop_accum[np.asarray(keep)]
@@ -427,6 +475,7 @@ class MultiSessionMapping:
     # readout / observability (one transfer each; never on the hot path)
     # ------------------------------------------------------------------
     def _session_rows(self, stream: int) -> dict:
+        self._flush_round()
         n = int(np.asarray(self.banks.count[stream]))
         return {k: np.asarray(getattr(self.banks, k)[stream])[:n]
                 for k in FIELDS}
@@ -481,6 +530,7 @@ class MultiSessionMapping:
         """Per-session observability: throughput, drop counters, bank
         saturation (count/capacity), and surfels dropped on a full tail
         since start (device-accumulated, exact)."""
+        self._flush_round()
         counts = np.asarray(self.banks.count)
         drops = np.asarray(self._drop_accum)
         cap = self.config.surfel_capacity
@@ -517,6 +567,7 @@ class MultiSessionMapping:
         np.savez_compressed(path, **data)
 
     def load_checkpoint(self, stream: int, path: str) -> None:
+        self._flush_round()
         s = _Session(self.config)
         z = np.load(path, allow_pickle=False)
         n = int(z["bank_count"])

@@ -363,3 +363,55 @@ def test_checkpoint_restore_dead_rows_match_empty(tmp_path):
     lu = np.asarray(fresh.banks.last_update[0])
     assert n > 0
     assert (lu[n:] == -1).all()
+
+
+def _drive_fleet(m, n_frames=6):
+    for i in range(n_frames):
+        for k in range(2):
+            pose = np.eye(4)
+            pose[0, 3] = 0.4 * i + 0.2 * k
+            img, dep = render_plane(cfg_of(m), pose)
+            m.feed_pose(k, float(i), pose, is_keyframe=True)
+            m.feed_image(k, float(i), img)
+            m.feed_depth(k, float(i), dep)
+        m.step()
+    # loop correction for stream 0 arriving while a pipelined round is
+    # still in flight: the warp must flush it first (ordering test)
+    shift = np.eye(4)
+    shift[1, 3] = 0.3
+    g = m.sessions[0].graph
+    loop_path = [shift @ kf.cam_pose for kf in g.keyframes]
+    last = np.eye(4)
+    last[0, 3] = 0.4 * (n_frames - 1)
+    m.feed_pose(0, float(n_frames), shift @ last, loop_path=loop_path,
+                is_keyframe=False)
+    return m
+
+
+def cfg_of(m):
+    return m.config
+
+
+def test_pipelined_rounds_match_eager():
+    """MultiSessionMapping(pipelined=True) defers each round's upload+
+    dispatch to a worker thread; every consumer flushes first, so maps,
+    counters, and warps must match the eager fleet bitwise."""
+    cfg = tiny_config(surfel_capacity=8192, compact_interval=3)
+    eager = _drive_fleet(MultiSessionMapping(cfg, n_streams=2))
+    piped = _drive_fleet(MultiSessionMapping(cfg, n_streams=2,
+                                             pipelined=True))
+    piped.flush_rounds()
+    assert piped.rounds == eager.rounds
+    for k in range(2):
+        a = piped.session_surfels(k, min_updates=1)
+        b = eager.session_surfels(k, min_updates=1)
+        assert len(a["position"]) == len(b["position"])
+        order_a = np.lexsort(a["position"].T)
+        order_b = np.lexsort(b["position"].T)
+        for key in a:
+            np.testing.assert_array_equal(a[key][order_a], b[key][order_b],
+                                          err_msg=f"stream {k} field {key}")
+    ma = piped.session_metrics()
+    mb = eager.session_metrics()
+    for x, y in zip(ma, mb):
+        assert x == y
