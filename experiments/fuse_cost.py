@@ -18,6 +18,10 @@ RPCs.  Mirrors the reference's per-stage stopwatch names
 Usage: python experiments/fuse_cost.py [--cpu] [--json out.json]
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import sys
 

@@ -17,6 +17,10 @@ Usage: python experiments/h2d_ab.py [n_frames] — prints one line per
 strategy; record the winner in BASELINE.md.
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

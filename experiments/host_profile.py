@@ -24,6 +24,10 @@ degraded relay window; end-to-end and "dispatch" need a healthy one.
 Usage: python experiments/host_profile.py [n_frames]
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -20,6 +20,10 @@ and aggregate fps need a healthy one.
 Usage: python experiments/multi_profile.py [n_rounds]
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -10,6 +10,10 @@ for both backends, plus accuracy equality.
 Usage: python experiments/sgm_bench.py [iters]
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -9,6 +9,10 @@ kernel work can be gated on traffic deltas rather than noisy wall time.
 Usage: python experiments/sgm_cost.py [--cpu]
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 
 import numpy as np
