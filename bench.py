@@ -54,24 +54,31 @@ def main(n_frames: int = 60, warmup: int = 3):
     import densesurfelmapping_tpu as dsm
     from densesurfelmapping_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    from densesurfelmapping_tpu.core.state import SurfelBank, pack_frame
-    from densesurfelmapping_tpu.pipeline.fuse_step import jitted_fuse_frame_packed
+    from densesurfelmapping_tpu.core.state import (SurfelBank, pack_aux,
+                                                   pack_frame_with_aux)
+    from densesurfelmapping_tpu.pipeline.fuse_step import (
+        jitted_fuse_frame_onebuf)
     from densesurfelmapping_tpu.io import synthetic
 
     cfg = dsm.kitti_config(surfel_capacity=1 << 19)
     scene = synthetic.default_scene()
     poses = synthetic.forward_trajectory(n_frames + warmup, step=0.4)
 
-    # pre-render on host (excluded from the timed region); each frame rides
-    # to the device as ONE packed buffer (u8 intensity + f16 depth bytes,
-    # decoded in-step) — per-transfer latency dominates per-byte cost here
+    # pre-render on host (excluded from the timed region); each frame's
+    # WHOLE payload (u8 intensity + f16 depth bytes + pose/index/window
+    # aux) rides as ONE u8 buffer = one H2D put — per-transfer latency
+    # dominates per-byte cost here, and the previous 3-arg step paid
+    # three puts per frame.  The all-true window makes the windowed
+    # program bitwise-equal to the unwindowed step (pinned by
+    # tests/test_device_driver.py::test_onebuf_alltrue_mask_matches_unwindowed)
+    mask = np.ones(cfg.max_keyframes, bool)
     rendered = []
-    for pose in poses:
+    for i, pose in enumerate(poses):
         img, dep = scene.render(cfg, pose)
-        rendered.append((pack_frame(cfg, img, dep),
-                         pose.astype(np.float32)))
+        rendered.append(pack_frame_with_aux(
+            cfg, img, dep, pack_aux(pose.astype(np.float32), i, mask)))
 
-    step = jitted_fuse_frame_packed(cfg)
+    step = jitted_fuse_frame_onebuf(cfg)
 
     n_segments = 5
     seg = n_frames // n_segments
@@ -79,9 +86,7 @@ def main(n_frames: int = 60, warmup: int = 3):
     bank = SurfelBank.empty(cfg.surfel_capacity)
 
     def run(i, bank):
-        buf, pose = rendered[i]
-        bank, stats = step(bank, jnp.asarray(buf),
-                           jnp.asarray(pose), jnp.int32(i))
+        bank, stats = step(bank, jnp.asarray(rendered[i]))
         return bank, stats
 
     for i in range(warmup):

@@ -34,24 +34,28 @@ def main(n_frames: int = 200, warmup: int = 5):
     import densesurfelmapping_tpu as dsm
     from densesurfelmapping_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    from densesurfelmapping_tpu.core.state import SurfelBank, pack_frame
+    from densesurfelmapping_tpu.core.state import (SurfelBank, pack_aux,
+                                                   pack_frame_with_aux)
     from densesurfelmapping_tpu.pipeline.fuse_step import (
-        fuse_frame_packed, jitted_fuse_frame_packed)
+        fuse_frame_onebuf, jitted_fuse_frame_onebuf)
     from densesurfelmapping_tpu.io import synthetic
 
     cfg = dsm.kitti_config(surfel_capacity=1 << 19)
     scene = synthetic.default_scene()
     poses = synthetic.forward_trajectory(n_frames + warmup, step=0.4)
-    rendered = [(pack_frame(cfg, *scene.render(cfg, p)),
-                 p.astype(np.float32)) for p in poses]
+    # one-payload frames (bench.py's product path: ONE put per frame)
+    mask = np.ones(cfg.max_keyframes, bool)
+    rendered = [pack_frame_with_aux(
+        cfg, *scene.render(cfg, p),
+        pack_aux(p.astype(np.float32), i, mask))
+        for i, p in enumerate(poses)]
 
-    step = jitted_fuse_frame_packed(cfg)
+    step = jitted_fuse_frame_onebuf(cfg)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def step_chunk(bank, bufs, ps, k, i0):
+    def step_chunk(bank, bufs, k):
         buf = jax.lax.dynamic_index_in_dim(bufs, k, 0, keepdims=False)
-        pose = jax.lax.dynamic_index_in_dim(ps, k, 0, keepdims=False)
-        return fuse_frame_packed(cfg, bank, buf, pose, i0 + k)
+        return fuse_frame_onebuf(cfg, bank, buf)
 
     measured_total = [0.0]
 
@@ -77,19 +81,16 @@ def main(n_frames: int = 200, warmup: int = 5):
 
     def run_a(bank, start, n):
         for i in range(start, start + n):
-            buf, pose = rendered[i]
-            bank, _ = step(bank, jnp.asarray(buf), jnp.asarray(pose),
-                           jnp.int32(i))
+            bank, _ = step(bank, jnp.asarray(rendered[i]))
         return bank
 
     def run_b(bank, start, n):
-        nxt = jax.device_put(rendered[start][0])
+        nxt = jax.device_put(rendered[start])
         for i in range(start, start + n):
             buf = nxt
             if i + 1 < len(rendered):
-                nxt = jax.device_put(rendered[i + 1][0])  # overlaps step i
-            bank, _ = step(bank, buf, jnp.asarray(rendered[i][1]),
-                           jnp.int32(i))
+                nxt = jax.device_put(rendered[i + 1])  # overlaps step i
+            bank, _ = step(bank, buf)
         return bank
 
     def make_run_c(K):
@@ -97,14 +98,10 @@ def main(n_frames: int = 200, warmup: int = 5):
             for c0 in range(start, start + n, K):
                 k_n = min(K, start + n - c0)
                 bufs = jnp.asarray(
-                    np.stack([rendered[c0 + k][0] for k in range(k_n)] +
-                             [rendered[c0][0]] * (K - k_n)))
-                ps = jnp.asarray(
-                    np.stack([rendered[c0 + k][1] for k in range(k_n)] +
-                             [rendered[c0][1]] * (K - k_n)))
+                    np.stack([rendered[c0 + k] for k in range(k_n)] +
+                             [rendered[c0]] * (K - k_n)))
                 for k in range(k_n):
-                    bank, _ = step_chunk(bank, bufs, ps, jnp.int32(k),
-                                         jnp.int32(c0))
+                    bank, _ = step_chunk(bank, bufs, jnp.int32(k))
             return bank
         return run_c
 

@@ -147,3 +147,38 @@ def test_warp_grows_keyframe_capacity():
     assert m.config.max_keyframes >= 7
     assert len(m._window_np) == m.config.max_keyframes
     assert not np.isnan(np.asarray(m.bank.position)).any()
+
+
+def test_onebuf_alltrue_mask_matches_unwindowed():
+    """The windowed one-payload step with an all-true window must equal
+    the unwindowed packed step bitwise (bench.py rides the onebuf path
+    with an all-true mask; nothing may be frozen or gated differently)."""
+    import jax.numpy as jnp
+    from densesurfelmapping_tpu.core.state import (SurfelBank, pack_aux,
+                                                   pack_frame,
+                                                   pack_frame_with_aux)
+    from densesurfelmapping_tpu.pipeline.fuse_step import (
+        jitted_fuse_frame_onebuf, jitted_fuse_frame_packed)
+
+    cfg = tiny_config(surfel_capacity=8192, max_keyframes=64)
+    a = SurfelBank.empty(cfg.surfel_capacity)
+    b = SurfelBank.empty(cfg.surfel_capacity)
+    step_a = jitted_fuse_frame_packed(cfg)
+    step_b = jitted_fuse_frame_onebuf(cfg)
+    mask = np.ones(cfg.max_keyframes, bool)
+    for i in range(6):
+        pose = np.eye(4, dtype=np.float32)
+        pose[0, 3] = 0.3 * i
+        img, dep = render_plane(cfg, pose)
+        buf = pack_frame(cfg, img, dep)
+        a, sa = step_a(a, jnp.asarray(buf), jnp.asarray(pose), jnp.int32(i))
+        payload = pack_frame_with_aux(cfg, img, dep, pack_aux(pose, i, mask))
+        b, sb = step_b(b, jnp.asarray(payload))
+        assert int(sa["n_new"]) == int(sb["n_new"]), i
+    assert int(a.count) == int(b.count)
+    n = int(a.count)
+    from densesurfelmapping_tpu.pipeline.inactive_pool import FIELDS
+    for k in FIELDS:
+        np.testing.assert_array_equal(np.asarray(getattr(a, k))[:n],
+                                      np.asarray(getattr(b, k))[:n],
+                                      err_msg=k)
