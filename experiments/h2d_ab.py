@@ -4,14 +4,18 @@ in how frames reach the device.  Three strategies, measured in ONE process
 (the relay varies 3-10x across processes — only within-process comparisons
 are meaningful, CLAUDE.md):
 
-  A  baseline     — per-frame jnp.asarray(packed_buf) right before the step
+All strategies ride the one-payload step (frame + aux in a single u8
+buffer, `fuse_frame_onebuf` — the product path bench.py measures):
+
+  A  baseline     — per-frame jnp.asarray(payload) right before the step
                     (what bench.py does today);
   B  prefetch     — jax.device_put of frame i+1 issued immediately after
                     dispatching step i, so the next upload overlaps the
                     current step's execution;
-  C  chunked-K    — K frames ride in ONE (K, 3HW) upload; the step indexes
-                    its frame with lax.dynamic_index_in_dim on device,
-                    amortizing per-transfer latency over K dispatches.
+  C  chunked-K    — K payloads ride in ONE (K, bytes) upload; the step
+                    indexes its frame with lax.dynamic_index_in_dim on
+                    device, amortizing per-transfer latency over K
+                    dispatches.
 
 Usage: python experiments/h2d_ab.py [n_frames] — prints one line per
 strategy; record the winner in BASELINE.md.
