@@ -109,3 +109,70 @@ def test_keyframe_capacity_growth_with_pending():
     a = sorted_rows(piped.map_surfels())
     b = sorted_rows(eager.map_surfels())
     np.testing.assert_array_equal(a["position"], b["position"])
+
+
+def test_random_schedule_equivalence():
+    """Randomized interleaving of feeds, loop corrections, readouts,
+    checkpoints, and stats against the same schedule on the eager driver:
+    every flush seam must keep observable state identical no matter when
+    a consumer interrupts the in-flight frame."""
+    rng = np.random.default_rng(7)
+    cfg = make_cfg(compact_interval=3)
+    eager = DeviceResidentMapping(cfg)
+    piped = DeviceResidentMapping(cfg, pipelined=True)
+
+    # one pre-generated action schedule applied to both drivers
+    actions = []
+    for i in range(14):
+        actions.append(("frame", i))
+        r = rng.random()
+        if r < 0.2:
+            actions.append(("metrics",))
+        elif r < 0.35:
+            actions.append(("readout",))
+        elif r < 0.45:
+            actions.append(("stats",))
+        elif r < 0.55 and i > 2:
+            actions.append(("warp", i))
+
+    def apply(m):
+        outs = []
+        for a in actions:
+            if a[0] == "frame":
+                i = a[1]
+                pose = np.eye(4)
+                pose[0, 3] = 0.35 * i
+                img, dep = render_plane(cfg, pose)
+                feed_frame(m, float(i), pose, img, dep, is_keyframe=True)
+            elif a[0] == "metrics":
+                mm = m.metrics()
+                outs.append(("metrics", mm["active_count"],
+                             mm["inactive_count"], mm["frames_fused"]))
+            elif a[0] == "readout":
+                rows = m.map_surfels()
+                outs.append(("readout", len(rows["position"]),
+                             float(np.sort(rows["position"][:, 0]).sum())))
+            elif a[0] == "stats":
+                outs.append(("stats", dict(m.sync_stats())))
+            elif a[0] == "warp":
+                # loop correction arriving WITH a frame (so the stale-pose
+                # sync rule doesn't park the buffers): warps mid-schedule,
+                # potentially with a pipelined frame still in flight
+                shift = np.eye(4)
+                shift[1, 3] = 0.1
+                loop_path = [shift @ kf.loop_pose
+                             for kf in m.graph.keyframes]
+                pose = shift @ np.eye(4)
+                pose[0, 3] = 0.35 * a[1]
+                img, dep = render_plane(cfg, pose)
+                feed_frame(m, a[1] + 0.5, pose, img, dep,
+                           is_keyframe=True, loop_path=loop_path)
+        return outs
+
+    out_e = apply(eager)
+    out_p = apply(piped)
+    assert out_e == out_p
+    a = sorted_rows(piped.map_surfels())
+    b = sorted_rows(eager.map_surfels())
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
