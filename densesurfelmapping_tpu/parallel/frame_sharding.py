@@ -220,26 +220,14 @@ def sharded_fuse_frame_framestage(config: SurfelMapConfig, mesh: Mesh):
     instead of replicated: same call signature, same outputs (pinned equal
     by tests/test_frame_sharding.py), but the segmentation work per chip
     drops to (own + 2*HALO_SP)/sp_cols of the frame."""
+    from .sharding import _fuse_shard
     n_surfel = mesh.shape["surfel"]
     ext = _extended_geometry(config, n_surfel)
 
     def per_stream(bank, frame):
-        seeds, assignment = slab_segmentation(config, ext, n_surfel,
-                                              frame.image, frame.depth)
-        bank, fused_local = fusion.fuse_surfels(
-            config, bank, seeds, assignment, frame.depth, frame.pose,
-            frame.frame_index, blocked=False)
-        fused = jax.lax.pmax(fused_local.astype(jnp.int32), "surfel") > 0
-        new_fields, new_mask = fusion.extract_new_surfels(
-            config, seeds, fused, frame.pose, frame.frame_index)
-        shard = jax.lax.axis_index("surfel")
-        seed_idx = jnp.arange(new_mask.shape[0], dtype=jnp.int32)
-        new_mask = new_mask & (seed_idx % n_surfel == shard)
-        bank, stats = fusion.compact_and_append(bank, new_fields, new_mask)
-        stats["n_fused_seeds"] = jnp.sum(fused.astype(jnp.int32))
-        stats = {k: jax.lax.psum(v, "surfel") if k != "n_fused_seeds" else v
-                 for k, v in stats.items()}
-        return bank, stats
+        seg = slab_segmentation(config, ext, n_surfel,
+                                frame.image, frame.depth)
+        return _fuse_shard(config, bank, frame, n_surfel, segmented=seg)
 
     def stepper(banks, frames):
         banks = banks.replace(count=banks.count[:, 0])
@@ -255,5 +243,47 @@ def sharded_fuse_frame_framestage(config: SurfelMapConfig, mesh: Mesh):
     mapped = jax.shard_map(
         stepper, mesh=mesh,
         in_specs=(bank_spec, frame_spec),
+        out_specs=(bank_spec, stats_spec))
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=4)
+def sharded_fuse_frame_framestage_windowed_packed(config: SurfelMapConfig,
+                                                 mesh: Mesh):
+    """Driver-integrated form: the windowed packed step
+    (`sharding.sharded_fuse_frame_windowed_packed` — same call signature,
+    same outputs) with the frame stage column-sharded instead of
+    replicated.  `ShardedDeviceResidentMapping(frame_sharded=True)`
+    selects it, closing the "multi-chip scales capacity but not
+    single-stream frame rate" caveat: segmentation work per chip drops to
+    (own + 2*HALO_SP)/sp_cols of the frame.
+
+    Call: (banks, bufs (B, 3HW) u8, poses (B,4,4) f32, refs (B,) i32,
+    masks (B, max_keyframes) bool) -> (banks, stats)."""
+    from ..pipeline.fuse_step import unpack_frame, ingest_frame
+    from .sharding import _fuse_shard
+    n_surfel = mesh.shape["surfel"]
+    ext = _extended_geometry(config, n_surfel)
+
+    def per_stream(bank, buf, pose, ref, mask):
+        img_u8, dep_f16 = unpack_frame(config, buf)
+        img, dep = ingest_frame(config, img_u8, dep_f16)
+        seg = slab_segmentation(config, ext, n_surfel, img, dep)
+        frame = FrameInput(image=img, depth=dep, pose=pose, frame_index=ref)
+        return _fuse_shard(config, bank, frame, n_surfel, pose_mask=mask,
+                           segmented=seg)
+
+    def stepper(banks, bufs, poses, refs, masks):
+        banks = banks.replace(count=banks.count[:, 0])
+        banks, stats = jax.vmap(per_stream)(banks, bufs, poses, refs, masks)
+        banks = banks.replace(count=banks.count[:, None])
+        return banks, stats
+
+    bank_spec = _bank_pspec()
+    stats_spec = {k: P("data") for k in
+                  ("n_live", "n_new", "n_dropped", "n_fused_seeds")}
+    mapped = jax.shard_map(
+        stepper, mesh=mesh,
+        in_specs=(bank_spec, P("data"), P("data"), P("data"), P("data")),
         out_specs=(bank_spec, stats_spec))
     return jax.jit(mapped, donate_argnums=(0,))

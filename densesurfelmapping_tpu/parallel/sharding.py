@@ -42,15 +42,22 @@ def make_mesh(n_devices: Optional[int] = None,
 
 
 def _fuse_shard(config: SurfelMapConfig, bank: SurfelBank, frame: FrameInput,
-                n_shards: int, pose_mask=None):
+                n_shards: int, pose_mask=None, segmented=None):
     """Body executed per surfel-shard under shard_map (single stream).
 
     bank holds this shard's rows; frame (and the optional active-window
-    pose_mask) is replicated across "surfel".
+    pose_mask) is replicated across "surfel".  segmented (optional
+    (seeds, assignment)) supplies a precomputed full-frame segmentation —
+    the column-slab frame-sharded stage (`parallel/frame_sharding.py`)
+    passes its gathered result here; None replicates the stage per shard.
     """
-    seeds, assignment = superpixel.run_slic(config, frame.image, frame.depth)
-    seeds, _ = normals.compute_seed_planes(config, seeds, assignment,
-                                           frame.depth)
+    if segmented is None:
+        seeds, assignment = superpixel.run_slic(config, frame.image,
+                                                frame.depth)
+        seeds, _ = normals.compute_seed_planes(config, seeds, assignment,
+                                               frame.depth)
+    else:
+        seeds, assignment = segmented
 
     bank, fused_local = fusion.fuse_surfels(
         config, bank, seeds, assignment, frame.depth, frame.pose,

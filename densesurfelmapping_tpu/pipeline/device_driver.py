@@ -319,14 +319,20 @@ class ShardedDeviceResidentMapping(DeviceResidentMapping):
     mesh's "surfel" axis — the best-practice driver at pod scale.
 
     Frames and masks replicate over "surfel"; fuse, loop warp, and
-    compaction run as shard_map programs (`parallel/sharding.py`)."""
+    compaction run as shard_map programs (`parallel/sharding.py`).
+    frame_sharded=True additionally column-shards the superpixel/plane-fit
+    stage over "surfel" (`parallel/frame_sharding.py` redundant-halo
+    slabs) so multi-chip scales single-stream frame rate too, not just
+    bank capacity — outputs are pinned identical either way."""
 
     def __init__(self, config: SurfelMapConfig, mesh,
-                 kitti_alignment: bool = False):
+                 kitti_alignment: bool = False,
+                 frame_sharded: bool = False):
         from ..parallel import sharding
         assert mesh.shape["data"] == 1, "one session per data group"
         self.mesh = mesh
         self.n_shards = mesh.shape["surfel"]
+        self.frame_sharded = bool(frame_sharded)
         super().__init__(config, kitti_alignment)
         self.bank = sharding.replicate_banks(mesh, config, n_streams=1)
         self._shard_frames = sharding.shard_frames
@@ -334,8 +340,14 @@ class ShardedDeviceResidentMapping(DeviceResidentMapping):
     def _build_window_jits(self) -> None:
         super()._build_window_jits()
         from ..parallel import sharding
-        self._sfuse_wp = sharding.sharded_fuse_frame_windowed_packed(
-            self.config, self.mesh)
+        if self.frame_sharded:
+            from ..parallel import frame_sharding
+            self._sfuse_wp = \
+                frame_sharding.sharded_fuse_frame_framestage_windowed_packed(
+                    self.config, self.mesh)
+        else:
+            self._sfuse_wp = sharding.sharded_fuse_frame_windowed_packed(
+                self.config, self.mesh)
         self._scompact = sharding.sharded_compact(self.config, self.mesh)
         self._swarp = sharding.sharded_warp_by_pose(self.config, self.mesh)
 

@@ -208,3 +208,32 @@ def test_sharded_stereo_matches_dense_stereo():
         assert len(b["position"]) == len(a["position"]), name
         np.testing.assert_allclose(a["position"], b["position"],
                                    atol=1e-4, err_msg=name)
+
+
+@needs_mesh
+def test_frame_sharded_device_resident_matches_dense():
+    """ShardedDeviceResidentMapping(frame_sharded=True): the column-slab
+    frame stage integrated into the windowed driver must reproduce the
+    dense driver across migration + loop closure (the slab SLIC is pinned
+    bit-identical by test_frame_sharding; this covers the driver wiring
+    incl. pose_mask gating through the precomputed segmentation)."""
+    from densesurfelmapping_tpu.pipeline.device_driver import (
+        DeviceResidentMapping, ShardedDeviceResidentMapping)
+
+    cfg = tiny_config(drift_free_poses=2, surfel_capacity=8192,
+                      stats_interval=2, compact_interval=4)
+    mesh = sharding.make_mesh(8, data=1)
+
+    dense = run_scenario(DeviceResidentMapping(cfg))
+    shard = run_scenario(ShardedDeviceResidentMapping(cfg, mesh,
+                                                      frame_sharded=True))
+
+    assert shard.frames_fused == dense.frames_fused == 7
+    assert shard.local_indices == dense.local_indices
+
+    sa = sorted_rows(shard.map_surfels())
+    da = sorted_rows(dense.map_surfels())
+    assert len(sa["position"]) == len(da["position"])
+    np.testing.assert_allclose(sa["position"], da["position"], atol=1e-4)
+    np.testing.assert_allclose(sa["normal"], da["normal"], atol=1e-4)
+    np.testing.assert_array_equal(sa["update_times"], da["update_times"])
