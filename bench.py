@@ -48,7 +48,39 @@ def _median(xs):
     return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
+def _claim_tpu_exclusively():
+    """One TPU client at a time (CLAUDE.md): a round-3 background watcher
+    (tools/window_watch.sh) may be probing link health on a schedule; a
+    concurrent client wedges the relay.  Kill it by PIDFILE (never by
+    pattern) before benching, then wait for any in-flight probe lock.
+    The watcher's own battery sets DSM_BENCH_NO_CLAIM=1 (it already owns
+    the device) so it does not kill itself."""
+    import signal
+
+    if os.environ.get("DSM_BENCH_NO_CLAIM"):
+        return
+    for pf in ("/tmp/dsm_watch_child.pid", "/tmp/dsm_watch.pid"):
+        try:
+            with open(pf) as f:
+                os.kill(int(f.read().strip()), signal.SIGTERM)
+        except (OSError, ValueError):
+            pass
+        try:
+            os.remove(pf)
+        except OSError:
+            pass
+    for _ in range(30):          # a killed probe's lock lingers briefly
+        if not os.path.exists("/tmp/dsm_tpu_busy"):
+            break
+        time.sleep(2)
+    try:
+        os.remove("/tmp/dsm_tpu_busy")
+    except OSError:
+        pass
+
+
 def main(n_frames: int = 60, warmup: int = 3):
+    _claim_tpu_exclusively()
     import jax
     import jax.numpy as jnp
     import densesurfelmapping_tpu as dsm

@@ -22,8 +22,10 @@ echo $$ > /tmp/dsm_watch.pid
 probe() {
     touch /tmp/dsm_tpu_busy
     timeout 360 python -m densesurfelmapping_tpu diagnose 2>/dev/null \
-        | tail -1 > "$OUT/last_probe.json"
-    rm -f /tmp/dsm_tpu_busy
+        | tail -1 > "$OUT/last_probe.json" &
+    echo $! > /tmp/dsm_watch_child.pid   # bench.py kills this on startup
+    wait $!
+    rm -f /tmp/dsm_tpu_busy /tmp/dsm_watch_child.pid
     grep -q '"healthy": true' "$OUT/last_probe.json"
 }
 
@@ -31,9 +33,11 @@ run_one() {  # name, timeout_s, cmd...
     local name=$1 tmo=$2; shift 2
     echo "=== $name $(date -u +%H:%M:%S) ===" | tee -a "$OUT/battery.log"
     touch /tmp/dsm_tpu_busy
-    timeout "$tmo" "$@" > "$OUT/$name.log" 2>&1
+    timeout "$tmo" "$@" > "$OUT/$name.log" 2>&1 &
+    echo $! > /tmp/dsm_watch_child.pid
+    wait $!
     local rc=$?
-    rm -f /tmp/dsm_tpu_busy
+    rm -f /tmp/dsm_tpu_busy /tmp/dsm_watch_child.pid
     echo "rc=$rc" >> "$OUT/battery.log"
     tail -3 "$OUT/$name.log" >> "$OUT/battery.log"
 }
@@ -43,7 +47,8 @@ while true; do
     ts=$(date -u +%Y-%m-%dT%H:%M:%S)
     if probe; then
         echo "$ts HEALTHY — running battery" >> "$OUT/watch.log"
-        DSM_BENCH_MAX_RETRIES=0 run_one bench 900 python bench.py 100
+        DSM_BENCH_MAX_RETRIES=0 DSM_BENCH_NO_CLAIM=1 \
+            run_one bench 900 python bench.py 100
         run_one h2d_ab 900 python experiments/h2d_ab.py 200
         run_one sgm_bench 1200 python experiments/sgm_bench.py 15
         run_one host_profile 900 python experiments/host_profile.py 120
