@@ -54,24 +54,46 @@ def _claim_tpu_exclusively():
     concurrent client wedges the relay.  Kill it by PIDFILE (never by
     pattern) before benching, then wait for any in-flight probe lock.
     The watcher's own battery sets DSM_BENCH_NO_CLAIM=1 (it already owns
-    the device) so it does not kill itself."""
+    the device) so it does not kill itself.
+
+    Order matters: the LOOP pid dies first — the loop sits in `wait`,
+    so killing only the child would let it spawn the next battery item
+    immediately.  PIDs are verified against /proc cmdline before the
+    kill (a stale pidfile must not TERM a recycled, unrelated PID)."""
     import signal
 
     if os.environ.get("DSM_BENCH_NO_CLAIM"):
         return
-    for pf in ("/tmp/dsm_watch_child.pid", "/tmp/dsm_watch.pid"):
+
+    def _kill_verified(pidfile, needle):
         try:
-            with open(pf) as f:
-                os.kill(int(f.read().strip()), signal.SIGTERM)
+            with open(pidfile) as f:
+                pid = int(f.read().strip())
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\0", b" ")
+            if needle in cmd:
+                os.kill(pid, signal.SIGTERM)
         except (OSError, ValueError):
             pass
         try:
-            os.remove(pf)
+            os.remove(pidfile)
         except OSError:
             pass
-    for _ in range(30):          # a killed probe's lock lingers briefly
+
+    _kill_verified("/tmp/dsm_watch.pid", b"window_watch")
+    _kill_verified("/tmp/dsm_watch_child.pid", b"python")
+    # A SIGTERMed battery item can take a while to die (timeout wrapper
+    # forwards the signal; jit teardown is slow in degraded windows), and
+    # a crashed holder can leave the lock behind: wait generously, then
+    # treat a lock untouched for >10 min as stale.
+    for _ in range(150):
         if not os.path.exists("/tmp/dsm_tpu_busy"):
-            break
+            return
+        try:
+            if time.time() - os.path.getmtime("/tmp/dsm_tpu_busy") > 600:
+                break
+        except OSError:
+            return
         time.sleep(2)
     try:
         os.remove("/tmp/dsm_tpu_busy")

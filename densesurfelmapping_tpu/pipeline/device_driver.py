@@ -57,6 +57,13 @@ class DeviceResidentMapping(SurfelMapping):
         # network I/O, not CPU.  Dispatch lags the feed by one frame;
         # every bank consumer flushes first (see _flush_pending callers),
         # so observable semantics are identical (equivalence-tested).
+        # BUFFER CONTRACT: the driver BORROWS the fed image/depth arrays
+        # until the next driver call (the worker packs them after feed
+        # returns) — callers must allocate fresh frames, never mutate a
+        # fed buffer in place.  This extends the repo-wide no-mutation
+        # rule (compact_frame's zero-copy upload aliasing, CLAUDE.md)
+        # from upload-lifetime to next-call-lifetime; every io/ loader
+        # already complies.
         self._pipelined = bool(pipelined)
         self._pack_pool = (ThreadPoolExecutor(max_workers=1)
                            if pipelined else None)

@@ -54,12 +54,16 @@ def run_batch(B: int, n_rounds: int, pipelined: bool, measured, overhead):
             m.feed_image(s, float(i), frames[j][0])
             m.feed_depth(s, float(i), frames[j][1])
 
+    t_w0 = time.perf_counter()
     feed(0)
     m.step(flush=True)
     m.flush_rounds()
     jax.block_until_ready(m.banks.position)
     m.timer.totals.clear()
     m.timer.counts.clear()
+    # warmup/compile excluded from the validity wall (cold cache = minutes
+    # of remote compile; must not fake a RUN INVALID)
+    overhead[0] += time.perf_counter() - t_w0
 
     t0 = time.perf_counter()
     for i in range(1, n_rounds):

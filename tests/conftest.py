@@ -20,3 +20,26 @@ from densesurfelmapping_tpu.utils.cache import enable_compilation_cache  # noqa:
 
 # backend-scoped cache dir (CPU artifacts kept apart from TPU ones)
 enable_compilation_cache()
+
+# One-TPU-client coordination (CLAUDE.md): the CPU pytest suite has wedged
+# concurrent TPU runs before (round 2), and the round-3 window watcher
+# (tools/window_watch.sh) fires TPU probes on a schedule.  Hold
+# /tmp/dsm_cpu_busy for the whole session — the watcher waits on it — and
+# don't start while a TPU client holds /tmp/dsm_tpu_busy.
+_CPU_LOCK = "/tmp/dsm_cpu_busy"
+
+
+def pytest_sessionstart(session):
+    import time
+    for _ in range(240):                 # probes run ~2-6 min
+        if not os.path.exists("/tmp/dsm_tpu_busy"):
+            break
+        time.sleep(5)
+    open(_CPU_LOCK, "a").close()
+
+
+def pytest_sessionfinish(session, exitstatus):
+    try:
+        os.remove(_CPU_LOCK)
+    except OSError:
+        pass

@@ -9,22 +9,29 @@
 # logging to $OUT.  Exits when the battery has run.
 #
 # Coordination (one-TPU-client rule): holds /tmp/dsm_tpu_busy while any
-# TPU process runs; waits while /tmp/dsm_cpu_busy exists (held by the
-# interactive session during pytest runs, which can wedge the relay if
-# concurrent with a TPU client).
+# TPU process runs; waits while /tmp/dsm_cpu_busy exists (held by
+# tests/conftest.py for the duration of a pytest session, and by the
+# interactive session for ad-hoc CPU-heavy runs).  bench.py kills this
+# loop and its in-flight child by PIDFILE before claiming the device —
+# kill the LOOP pid first (else the loop respawns the next item the
+# moment the child dies), then the child.
 set -u
 cd /root/repo
 OUT=${OUT:-/root/repo/experiments/captures}
 PROBE_INTERVAL=${PROBE_INTERVAL:-900}
 mkdir -p "$OUT"
 echo $$ > /tmp/dsm_watch.pid
+trap 'rm -f /tmp/dsm_watch.pid /tmp/dsm_watch_child.pid /tmp/dsm_tpu_busy' EXIT
 
 probe() {
     touch /tmp/dsm_tpu_busy
-    timeout 360 python -m densesurfelmapping_tpu diagnose 2>/dev/null \
-        | tail -1 > "$OUT/last_probe.json" &
-    echo $! > /tmp/dsm_watch_child.pid   # bench.py kills this on startup
+    # NOT a pipeline: $! must be the python TPU client itself, so
+    # bench.py's kill-by-pidfile stops the real device user
+    timeout 360 python -m densesurfelmapping_tpu diagnose \
+        > "$OUT/probe_raw.log" 2>/dev/null &
+    echo $! > /tmp/dsm_watch_child.pid
     wait $!
+    tail -1 "$OUT/probe_raw.log" > "$OUT/last_probe.json"
     rm -f /tmp/dsm_tpu_busy /tmp/dsm_watch_child.pid
     grep -q '"healthy": true' "$OUT/last_probe.json"
 }
