@@ -206,11 +206,15 @@ def cmd_synthetic(args):
           f"({args.frames / dt:.1f} fps incl. host render)")
     if args.eval:
         import json
-        from .eval import evaluate_map
+        from .eval import evaluate_map, evaluate_map_clouds
         res = evaluate_map(mapping, [f for f, _ in eval_set],
                            [p for _, p in eval_set])
         print("fidelity:", json.dumps({k: round(v, 4)
                                        for k, v in res.items()}))
+        cm = evaluate_map_clouds(mapping, [f for f, _ in eval_set],
+                                 [p for _, p in eval_set])
+        print("cloud:", json.dumps({k: round(v, 4)
+                                    for k, v in cm.items()}))
     _finish(mapping, cfg, args, last)
 
 
@@ -395,6 +399,10 @@ def cmd_stress(args):
     rnd = lambda d: {k: round(v, 4) for k, v in d.items()}  # noqa: E731
     print("fidelity pre-correction: ", json.dumps(rnd(pre or {})))
     print("fidelity post-correction:", json.dumps(rnd(post)))
+    from .eval import evaluate_map_clouds
+    cm = evaluate_map_clouds(mapping, list(eval_set.values()),
+                             [seq.gt_poses[j] for j in eval_set])
+    print("cloud post-correction:", json.dumps(rnd(cm)))
     _finish(mapping, cfg, args, last)
     return 0
 

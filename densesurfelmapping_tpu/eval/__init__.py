@@ -1,1 +1,3 @@
-from .fidelity import render_depth, depth_metrics, evaluate_map
+from .fidelity import (render_depth, depth_metrics, evaluate_map,
+                       backproject_cloud, cloud_metrics, evaluate_map_clouds,
+                       densify_surfels)

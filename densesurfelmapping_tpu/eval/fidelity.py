@@ -123,3 +123,101 @@ def evaluate_map(mapping, frames, poses) -> Dict[str, float]:
         for k, v in m.items():
             agg.setdefault(k, []).append(v)
     return {k: float(np.mean(v)) for k, v in agg.items()}
+
+
+def backproject_cloud(config: SurfelMapConfig, depth: np.ndarray,
+                      pose: np.ndarray,
+                      max_depth: float = 0.0) -> np.ndarray:
+    """World-frame (N, 3) cloud of one ground-truth depth frame (the same
+    back-projection as the raw_pointcloud debug topic)."""
+    cam = config.camera
+    depth = np.asarray(depth, np.float32)
+    lim = max_depth or config.fuse_far
+    vs, us = np.mgrid[0:depth.shape[0], 0:depth.shape[1]]
+    valid = (depth > 0.01) & (depth <= lim)
+    z = depth[valid]
+    pts = np.stack([(us[valid] - cam.cx) / cam.fx * z,
+                    (vs[valid] - cam.cy) / cam.fy * z, z], axis=1)
+    T = np.asarray(pose, np.float64)
+    return (pts @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
+
+
+def cloud_metrics(map_points: np.ndarray, gt_points: np.ndarray,
+                  threshold: float = 0.1,
+                  sample: int = 200_000, seed: int = 0) -> Dict[str, float]:
+    """Standard cloud-to-cloud reconstruction metrics (the mapping-paper
+    complement to the depth-render fidelity): accuracy = map->GT nearest
+    distances (is what we built correct), completeness = GT->map (did we
+    build the whole scene), chamfer = mean of the two means, and
+    precision/recall/F1 at `threshold` meters."""
+    from scipy.spatial import cKDTree
+
+    rng = np.random.default_rng(seed)
+
+    def sub(a):
+        a = np.asarray(a, np.float32).reshape(-1, 3)
+        if len(a) > sample:
+            a = a[rng.choice(len(a), sample, replace=False)]
+        return a
+
+    mp, gp = sub(map_points), sub(gt_points)
+    if len(mp) == 0 or len(gp) == 0:
+        return {"accuracy_mean": float("inf"),
+                "completeness_mean": float("inf"), "chamfer": float("inf"),
+                "precision": 0.0, "recall": 0.0, "f1": 0.0}
+    d_acc = cKDTree(gp).query(mp, workers=-1)[0]
+    d_comp = cKDTree(mp).query(gp, workers=-1)[0]
+    precision = float((d_acc < threshold).mean())
+    recall = float((d_comp < threshold).mean())
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall else 0.0)
+    return {
+        "accuracy_mean": float(d_acc.mean()),
+        "accuracy_median": float(np.median(d_acc)),
+        "completeness_mean": float(d_comp.mean()),
+        "completeness_median": float(np.median(d_comp)),
+        "chamfer": float(0.5 * (d_acc.mean() + d_comp.mean())),
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+    }
+
+
+def densify_surfels(surfels: Dict[str, np.ndarray],
+                    rings=(0.45, 0.9), counts=(6, 12)) -> np.ndarray:
+    """Sample the surfel DISKS as points: center + concentric rings in the
+    tangent plane (x_dir = normal x z-hat, the hexagon-mesh basis of
+    `save_mesh`/push_a_surfel, surfel_map.cpp:1176-1280).  The map's unit
+    is a disk one superpixel wide — point metrics against a dense GT cloud
+    must compare the disk footprint, not just centers ~SP_SIZE px apart."""
+    pos = np.asarray(surfels["position"], np.float32).reshape(-1, 3)
+    nrm = np.asarray(surfels["normal"], np.float32).reshape(-1, 3)
+    rad = np.asarray(surfels["size"], np.float32).reshape(-1)
+    if len(pos) == 0:
+        return pos
+    zhat = np.float32([0, 0, 1])
+    x_dir = np.cross(nrm, zhat)
+    deg = np.linalg.norm(x_dir, axis=1) < 1e-6      # normal ~ +-z
+    x_dir[deg] = np.float32([1, 0, 0])
+    x_dir /= np.maximum(np.linalg.norm(x_dir, axis=1, keepdims=True), 1e-9)
+    y_dir = np.cross(nrm, x_dir)
+    y_dir /= np.maximum(np.linalg.norm(y_dir, axis=1, keepdims=True), 1e-9)
+    out = [pos]
+    for frac, k in zip(rings, counts):
+        ang = np.linspace(0, 2 * np.pi, k, endpoint=False)
+        for a in ang:
+            r = (frac * rad)[:, None]
+            out.append(pos + r * (np.cos(a) * x_dir + np.sin(a) * y_dir))
+    return np.concatenate(out).astype(np.float32)
+
+
+def evaluate_map_clouds(mapping, frames, poses,
+                        threshold: float = 0.1) -> Dict[str, float]:
+    """Cloud metrics of the mapper's full map (disk-densified — see
+    densify_surfels) against the GT cloud aggregated from the given depth
+    frames (each back-projected at its pose)."""
+    surfels = mapping.map_surfels()
+    gt = [backproject_cloud(mapping.config, dep, pose)
+          for (_, dep), pose in zip(frames, poses)]
+    gt = np.concatenate(gt) if gt else np.zeros((0, 3), np.float32)
+    return cloud_metrics(densify_surfels(surfels), gt, threshold=threshold)
