@@ -34,6 +34,21 @@ Design: redundant-halo SPMD, zero per-iteration communication.
 Cost model: each of n shards computes (own + 2*HALO_SP)/C of the frame
 stage; at KITTI size with 8 shards that is (20+16)/156 ≈ 23% per shard —
 a ~4.3x frame-stage speedup ceiling before the gather.
+
+Scope note — the STEREO front-end stays replicated per shard (the policy
+of `sharding.sharded_fuse_frame_stereo_windowed_packed`).  SGM does not
+column-shard the way SLIC does: the semi-global DP scans carry
+unbounded dependencies along their scan axis (L(x) needs L(x-1) for the
+whole row), so a redundant halo cannot cover them.  The TPU-native
+mapping would be per-direction axis sharding — x± scans are
+row-independent (shard H), y± column-independent (shard W), diagonals
+independent along the perpendicular diagonal — with a ~237 MB cost-
+volume reshard collective between direction families (~2-3 ms on ICI),
+or a ppermute ring propagating slab-boundary DP carries (n_shards
+sequential steps).  Both are future work; at 22 ms the single-chip SGM
+already beats the offline PSMNet front-end it replaces, and multi-chip
+serving scales by streams (`MultiSessionMapping`) rather than by
+splitting one matcher.
 """
 
 from __future__ import annotations
