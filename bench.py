@@ -127,8 +127,11 @@ def main(n_frames: int = 60, warmup: int = 3):
     # tests/test_device_driver.py::test_onebuf_alltrue_mask_matches_unwindowed)
     mask = np.ones(cfg.max_keyframes, bool)
     rendered = []
+    raw = []          # (img, dep, pose) for the driver-level pass below
     for i, pose in enumerate(poses):
         img, dep = scene.render(cfg, pose)
+        if len(raw) < 60:
+            raw.append((img, dep, pose))
         rendered.append(pack_frame_with_aux(
             cfg, img, dep, pack_aux(pose.astype(np.float32), i, mask)))
 
@@ -157,11 +160,35 @@ def main(n_frames: int = 60, warmup: int = 3):
             frame += 1
         jax.block_until_ready(bank.count)
         seg_fps.append(seg / (time.perf_counter() - t0))
+    # secondary metric: full driver end-to-end (DeviceResidentMapping,
+    # pipelined feed — keyframing, window lifecycle, pose graph), run in
+    # the SAME process before the hard fence so it rides the fast async
+    # dispatch mode and the already-compiled onebuf program.  Skipped in
+    # collapsed windows (it would just re-measure relay weather and slow
+    # every retry attempt); soft-fenced, so its wall is excluded from the
+    # fenced_fps window below.
+    driver_fps = None
+    driver_wall = 0.0
+    if _median(seg_fps) >= DEGRADED_FPS:
+        from densesurfelmapping_tpu.pipeline.device_driver import (
+            DeviceResidentMapping)
+        drv = DeviceResidentMapping(cfg, pipelined=True)
+        t_d0 = time.perf_counter()
+        for i, (img, dep, pose) in enumerate(raw):
+            drv.feed_pose(float(i), pose, is_keyframe=(i % 2 == 0))
+            drv.feed_image(float(i), img)
+            drv.feed_depth(float(i), dep)
+        drv.flush()
+        jax.block_until_ready(drv.bank.position)
+        driver_wall = time.perf_counter() - t_d0
+        driver_fps = len(raw) / driver_wall
+
     # hard integrity fence: one real D2H readback (this is the LAST device
     # interaction worth trusting in this process — it degrades dispatch
     # mode, which is why retries re-exec rather than loop)
     final_count = int(np.asarray(bank.count))
-    fenced_fps = (n_segments * seg) / (time.perf_counter() - t_all0)
+    fenced_fps = (n_segments * seg) / (
+        time.perf_counter() - t_all0 - driver_wall)
 
     # link-health context (post-fence, so no extra dispatch-mode damage):
     # lets a reader attribute a bad number to relay weather objectively
@@ -185,6 +212,11 @@ def main(n_frames: int = 60, warmup: int = 3):
         "link_dispatch_ms": round(link_dispatch_ms, 2),
         "link_h2d_mbps": round(link_h2d_mbps, 1),
     }
+    if driver_fps is not None:
+        # soft-fenced secondary metric (see above); the hard fence drained
+        # all of its work before this line, so gross lies would show as a
+        # depressed fenced_fps instead
+        result["driver_fps"] = round(driver_fps, 1)
 
     attempt = int(os.environ.get("DSM_BENCH_ATTEMPT", "0"))
     prev = json.loads(os.environ.get("DSM_BENCH_PREV", "null"))
