@@ -358,7 +358,9 @@ def cmd_stress(args):
         from .models.stereo import StereoConfig
         mapping.enable_stereo(bf=cfg.camera.fx * 0.54,
                               stereo_config=StereoConfig(
-                                  aggregation="sgm" if args.sgm else "box"))
+                                  aggregation="sgm" if args.sgm else "box",
+                                  post_median=not getattr(
+                                      args, "no_post_median", False)))
     eval_idx = list(range(0, args.frames, max(args.frames // 10, 1)))
     eval_set = {}
     pre = None
@@ -661,6 +663,9 @@ def main(argv=None):
                         "compute depth on-device inside the fuse program")
     p.add_argument("--sgm", action="store_true",
                    help="SGM aggregation for --stereo")
+    p.add_argument("--no-post-median", action="store_true",
+                   help="disable the median/speckle disparity post-filter "
+                        "(A/B the round-3 fidelity gain)")
     p.add_argument("--frames", type=int, default=2000)
     p.add_argument("--radius", type=float, default=60.0,
                    help="circuit radius in meters (60 ~ a KITTI block)")

@@ -14,7 +14,12 @@ Design (TPU-first, no gathers on the hot path):
   neighbor costs tracked for the equiangular parabola refinement;
 * validity: left-right consistency via the volume identity
   costR(y, x, d) = costL(y, x + d, d) (a static shift, no resampling),
-  plus a matching-cost ceiling.
+  plus a matching-cost ceiling;
+* post-filter: a masked 3x3 median gate + hole fill on the final map
+  (the cv::filterSpeckles/medianBlur stage of production SGBM) — 9
+  static shifts through a 25-comparator sorting network, gather-free
+  (`_median_postfilter`; round-3 fidelity gain on the radius-15 stress
+  twin recorded in BASELINE.md).
 
 Measured at KITTI size / 127 disparities on a v5e (round 2): box 10 ms;
 8-path census SGM 21.8 ms with the Pallas aggregation backend (29.5 with
@@ -80,6 +85,18 @@ class StereoConfig(NamedTuple):
     # texture self-matches the LR check cannot catch (the classic SGBM
     # uniquenessRatio).  0 disables.
     uniqueness_ratio: float = 0.95
+    # post-filter (the cv::filterSpeckles + medianBlur stage every
+    # production SGBM runs; the reference's PSMNet maps arrive already
+    # clean, `kitti_publisher/scripts/publisher.py:36-41`): a masked 3x3
+    # median over the FINAL disparity map — a valid pixel deviating more
+    # than `speckle_tol` px from its neighborhood median is invalidated
+    # (isolated speckles), and an invalid pixel with >= `fill_support`
+    # valid neighbors is filled with their median (small holes; a median
+    # never blends across a depth edge).  Gather-free: 9 static shifts +
+    # a 25-comparator sorting network, pure VPU work.
+    post_median: bool = True
+    speckle_tol: float = 2.0      # px; gate |d - median| on valid pixels
+    fill_support: int = 6         # min valid neighbors to fill a hole
 
 
 def _box_filter(x: jnp.ndarray, r: int) -> jnp.ndarray:
@@ -111,6 +128,48 @@ def _shift_left(img: jnp.ndarray, d: int, fill: float) -> jnp.ndarray:
         return img
     return jnp.pad(img, ((0, 0), (0, d)),
                    constant_values=fill)[:, d:]
+
+
+# optimal 25-comparator sorting network for 9 inputs (Knuth TAOCP 5.3.4);
+# verified against np.sort in tests/test_stereo.py
+_SORT9 = ((0, 3), (1, 7), (2, 5), (4, 8), (0, 7), (2, 4), (3, 8), (5, 6),
+          (0, 2), (1, 3), (4, 5), (7, 8), (1, 4), (3, 6), (5, 7), (0, 1),
+          (2, 4), (3, 5), (6, 8), (2, 3), (4, 5), (6, 7), (1, 2), (3, 4),
+          (5, 6))
+
+
+def _median_postfilter(disp: jnp.ndarray, speckle_tol: float,
+                       fill_support: int) -> jnp.ndarray:
+    """Masked 3x3 median gate + hole fill on a 0-invalid disparity map.
+
+    The median of the <= 9 valid values in each 3x3 neighborhood (center
+    included; lower-middle for even counts) is computed gather-free:
+    invalid entries sort to +inf through a 25-comparator network and the
+    count-dependent median index is resolved with 8 selects.  Valid
+    pixels farther than `speckle_tol` from the median are zeroed; invalid
+    pixels with >= `fill_support` valid neighbors take the median."""
+    h, w = disp.shape
+    valid = disp > 0
+    pd = jnp.pad(disp, 1, constant_values=0.0)
+    pv = jnp.pad(valid, 1, constant_values=False)
+    planes = []
+    cnt = jnp.zeros((h, w), jnp.int32)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            v = pv[dy:dy + h, dx:dx + w]
+            planes.append(jnp.where(v, pd[dy:dy + h, dx:dx + w], np.inf))
+            cnt = cnt + v.astype(jnp.int32)
+    for a, b in _SORT9:
+        lo = jnp.minimum(planes[a], planes[b])
+        planes[b] = jnp.maximum(planes[a], planes[b])
+        planes[a] = lo
+    k = jnp.maximum(cnt - 1, 0) // 2          # median rank among valids
+    med = planes[0]
+    for i in range(1, 9):
+        med = jnp.where(k == i, planes[i], med)
+    keep = valid & (jnp.abs(disp - med) <= speckle_tol)
+    fill = (~valid) & (cnt >= fill_support)
+    return jnp.where(keep, disp, jnp.where(fill, med, 0.0))
 
 
 _SGM_BIG = 1e4   # finite out-of-range cost (SGM adds bounded penalties)
@@ -419,7 +478,11 @@ def disparity(left: jnp.ndarray, right: jnp.ndarray,
     """
     cfg = config
     if cfg.aggregation == "sgm":
-        return _disparity_sgm(left, right, cfg)
+        out = _disparity_sgm(left, right, cfg)
+        if cfg.post_median:
+            out = _median_postfilter(out, cfg.speckle_tol,
+                                     cfg.fill_support)
+        return out
     h, w = left.shape
     big = jnp.float32(1e10)
 
@@ -479,7 +542,10 @@ def disparity(left: jnp.ndarray, right: jnp.ndarray,
     textured = _box_filter(grad, cfg.radius) >= cfg.texture_threshold
 
     valid = consistent & textured & (best <= cfg.cost_ceiling) & (best < big)
-    return jnp.where(valid, disp, 0.0)
+    out = jnp.where(valid, disp, 0.0)
+    if cfg.post_median:
+        out = _median_postfilter(out, cfg.speckle_tol, cfg.fill_support)
+    return out
 
 
 @functools.lru_cache(maxsize=8)

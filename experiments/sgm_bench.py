@@ -71,6 +71,14 @@ def main(iters: int = 15):
         # measured nonsense (tiny outputs defeat the chain methodology)
         timeit(f"sgm8 census full ({tag})", stereo.jitted_disparity(scfg))
 
+    # isolate the round-3 median/speckle post-filter's own cost
+    scfg_np = stereo.StereoConfig(max_disparity=128, min_disparity=1,
+                                  radius=4, aggregation="sgm",
+                                  cost="census", sgm_paths=8,
+                                  post_median=False)
+    timeit("sgm8 census full (fused, post_median=False)",
+           stereo.jitted_disparity(scfg_np))
+
     same = np.array_equal(outs["pallas"], outs["lax.scan"])
     same_fused = np.array_equal(outs["pallas-fused"], outs["pallas"])
     print(f"disparity maps identical: pallas==scan {same}, "

@@ -299,11 +299,14 @@ def test_disparity_gain_bias_invariance_census(stereo_pair):
 def test_uniqueness_gate_monotone(stereo_pair):
     """The uniqueness gate only ever removes matches (tightening the
     ratio shrinks the valid set), never changes surviving values, and the
-    survivors' accuracy does not degrade."""
+    survivors' accuracy does not degrade.  post_median=False: the gate's
+    monotonicity is a RAW-map invariant — the median post-filter re-derives
+    values from neighborhoods, so removing a match can legitimately change
+    a filled neighbor downstream."""
     cfg, left, true_depth, right = stereo_pair
     base = stereo.StereoConfig(max_disparity=64, min_disparity=1, radius=3,
                                aggregation="sgm", cost="census",
-                               sgm_paths=8)
+                               sgm_paths=8, post_median=False)
     maps = {}
     for ratio in (0.0, 0.95, 0.5):
         maps[ratio] = np.asarray(stereo.jitted_disparity(
@@ -481,3 +484,98 @@ def test_sgm_bf16_carries_cross_backend_and_accuracy(stereo_pair):
     assert abs(med(d_bf16) - med(d_f32)) < 0.05, (med(d_bf16), med(d_f32))
     both = (d_bf16 > 0) & (d_f32 > 0)
     assert np.median(np.abs(d_bf16[both] - d_f32[both])) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# post-filter (masked 3x3 median gate + hole fill)
+# ---------------------------------------------------------------------------
+
+def _median_oracle(disp, speckle_tol, fill_support):
+    """NumPy transcription of stereo._median_postfilter semantics."""
+    h, w = disp.shape
+    out = np.zeros_like(disp)
+    for y in range(h):
+        for x in range(w):
+            vals = []
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    yy, xx = y + dy, x + dx
+                    if 0 <= yy < h and 0 <= xx < w and disp[yy, xx] > 0:
+                        vals.append(disp[yy, xx])
+            n = len(vals)
+            med = sorted(vals)[(n - 1) // 2] if n else 0.0
+            if disp[y, x] > 0:
+                if abs(disp[y, x] - med) <= speckle_tol:
+                    out[y, x] = disp[y, x]
+            elif n >= fill_support:
+                out[y, x] = med
+    return out
+
+
+def test_sort9_network_sorts():
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=(9, 64, 64)).astype(np.float32)
+    planes = [jnp.asarray(v[i]) for i in range(9)]
+    for a, b in stereo._SORT9:
+        lo = jnp.minimum(planes[a], planes[b])
+        planes[b] = jnp.maximum(planes[a], planes[b])
+        planes[a] = lo
+    got = np.stack([np.asarray(p) for p in planes])
+    np.testing.assert_array_equal(got, np.sort(v, axis=0))
+
+
+def test_median_postfilter_matches_oracle():
+    rng = np.random.default_rng(1)
+    disp = rng.uniform(1.0, 60.0, size=(40, 50)).astype(np.float32)
+    disp[rng.uniform(size=disp.shape) < 0.35] = 0.0       # invalid holes
+    # sprinkle speckles: isolated values far from their neighborhood
+    ys, xs = rng.integers(1, 39, 20), rng.integers(1, 49, 20)
+    disp[ys, xs] = np.where(disp[ys, xs] > 0, disp[ys, xs] + 25.0,
+                            disp[ys, xs])
+    got = np.asarray(stereo._median_postfilter(jnp.asarray(disp), 2.0, 6))
+    want = _median_oracle(disp, 2.0, 6)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_median_postfilter_speckle_and_fill():
+    # constant 10 px plane: one speckle pixel and one hole
+    disp = np.full((16, 16), 10.0, np.float32)
+    disp[8, 8] = 30.0                                     # speckle
+    disp[4, 4] = 0.0                                      # hole
+    out = np.asarray(stereo._median_postfilter(jnp.asarray(disp), 2.0, 6))
+    assert out[8, 8] == 0.0, "speckle not rejected"
+    assert out[4, 4] == 10.0, "hole not filled"
+    keep = np.ones_like(disp, bool)
+    keep[8, 8] = keep[4, 4] = False
+    np.testing.assert_array_equal(out[keep], disp[keep])
+
+
+def test_median_postfilter_in_pipeline(stereo_pair):
+    """post_median=True must not hurt accuracy on the render pair and
+    must strictly remove or fill at least some pixels; post_median=False
+    reproduces the raw map."""
+    cfg, left, true_depth, right = stereo_pair
+    l, r = jnp.asarray(left), jnp.asarray(right)
+    base = dict(max_disparity=64, min_disparity=1, radius=3,
+                aggregation="sgm")
+    d_raw = np.asarray(stereo.jitted_disparity(
+        stereo.StereoConfig(post_median=False, **base))(l, r))
+    d_fil = np.asarray(stereo.jitted_disparity(
+        stereo.StereoConfig(post_median=True, **base))(l, r))
+    assert not np.array_equal(d_raw, d_fil)
+    # filtered == oracle applied to raw
+    np.testing.assert_allclose(
+        d_fil, _median_oracle(d_raw, 2.0, 6), atol=1e-6)
+
+    true_disp = np.where(true_depth > 0,
+                         CAM.fx * BASELINE / np.maximum(true_depth, 1e-6),
+                         0.0)
+    in_range = (true_disp >= 2.0) & (true_disp < 63.0)
+
+    def stats(d):
+        sel = (d > 0) & in_range
+        return sel.mean(), np.median(np.abs(d[sel] - true_disp[sel]))
+    cov_raw, med_raw = stats(d_raw)
+    cov_fil, med_fil = stats(d_fil)
+    assert cov_fil >= cov_raw - 0.01, (cov_raw, cov_fil)
+    assert med_fil <= med_raw + 0.02, (med_raw, med_fil)
