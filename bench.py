@@ -29,6 +29,19 @@ sustained-throughput number — with the best segment recorded separately as
   observed multi-hour relay collapses where 60 s retries all landed in
   the same bad window), finally reporting the best attempt
   (`attempts: n`).
+
+Weather-proofing (round 4, VERDICT r3 #1): a harness timeout must never
+erase the record again (BENCH_r03 was `rc: 124, parsed: null` because the
+only JSON print sat AFTER the final backoff sleep).  Therefore:
+
+* the best-so-far JSON line is FLUSHED TO STDOUT before every backoff
+  sleep (`provisional: true`); a driver that kills the process mid-sleep
+  still parses the last line printed.
+* $DSM_BENCH_DEADLINE (seconds, default 3300 — under the driver's
+  typical 1 h budget) bounds total wall-clock since the FIRST attempt
+  (epoch carried across re-execs in $DSM_BENCH_T0): when the deadline
+  cannot fit another backoff + attempt, the best-so-far result is
+  printed as final instead of retrying.
 """
 
 import json
@@ -40,6 +53,10 @@ import numpy as np
 
 DEGRADED_FPS = float(os.environ.get("DSM_BENCH_DEGRADED_FPS", "150"))
 MAX_RETRIES = int(os.environ.get("DSM_BENCH_MAX_RETRIES", "5"))
+DEADLINE_S = float(os.environ.get("DSM_BENCH_DEADLINE", "3300"))
+# epoch of the FIRST attempt, carried across re-execs so the deadline is
+# a total budget, not per-attempt
+T0 = float(os.environ.setdefault("DSM_BENCH_T0", repr(time.time())))
 
 
 def _median(xs):
@@ -223,27 +240,54 @@ def main(n_frames: int = 60, warmup: int = 3):
     if prev is not None and prev["value"] > result["value"]:
         result = prev
     result["attempts"] = attempt + 1
+    elapsed = time.time() - T0
     if result["value"] < DEGRADED_FPS and attempt < MAX_RETRIES:
         # degraded relay window: hand the best-so-far to a FRESH process
         # (fresh dispatch state; compiles come from the persistent cache).
         # Backoff doubles per attempt — observed degradations last hours,
         # so densely-spaced retries all sample the same bad window.
         backoff = min(900, 60 * (2 ** attempt))
-        print(f"# degraded window (median {fps:.1f} fps, attempt "
-              f"{attempt + 1}/{MAX_RETRIES + 1}); re-exec in {backoff}s",
-              file=sys.stderr)
-        os.environ["DSM_BENCH_ATTEMPT"] = str(attempt + 1)
-        os.environ["DSM_BENCH_PREV"] = json.dumps(result)
-        time.sleep(backoff)
-        sys.stderr.flush()
-        sys.stdout.flush()
-        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__),
-                                  str(n_frames)])
+        # budget check: only retry if the deadline plausibly fits the
+        # backoff plus another attempt (~120 s warm-cache attempt floor)
+        if elapsed + backoff + 120 <= DEADLINE_S:
+            # WEATHER-PROOFING: flush the best-so-far record BEFORE the
+            # sleep — a harness timeout during backoff must still leave a
+            # parseable JSON line on stdout (VERDICT r3: BENCH_r03 was
+            # rc 124 / parsed null exactly because nothing was printed
+            # until after the final sleep)
+            print(json.dumps({**result, "provisional": True}))
+            print(f"# degraded window (median {fps:.1f} fps, attempt "
+                  f"{attempt + 1}/{MAX_RETRIES + 1}); re-exec in "
+                  f"{backoff}s (budget {elapsed:.0f}/{DEADLINE_S:.0f}s)",
+                  file=sys.stderr)
+            sys.stderr.flush()
+            sys.stdout.flush()
+            os.environ["DSM_BENCH_ATTEMPT"] = str(attempt + 1)
+            os.environ["DSM_BENCH_PREV"] = json.dumps(result)
+            time.sleep(backoff)
+            os.execv(sys.executable,
+                     [sys.executable, os.path.abspath(__file__),
+                      str(n_frames)])
+        print(f"# degraded window but deadline reached "
+              f"({elapsed:.0f}s + {backoff}s backoff > {DEADLINE_S:.0f}s "
+              f"budget); reporting best-so-far", file=sys.stderr)
 
     print(json.dumps(result))
     print(f"# median={fps:.1f} fenced={fenced_fps:.1f} fps, final map "
           f"{final_count} active surfels, backend={jax.default_backend()}",
           file=sys.stderr)
+
+
+def _emit_best_so_far(note):
+    """Last-resort record: never exit without a JSON line on stdout."""
+    prev = json.loads(os.environ.get("DSM_BENCH_PREV", "null"))
+    if prev is None:
+        prev = {"metric": "kitti_frames_fused_per_sec", "value": 0.0,
+                "unit": "frames/s", "vs_baseline": 0.0}
+    prev["provisional"] = True
+    prev["note"] = note
+    print(json.dumps(prev))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
@@ -256,5 +300,13 @@ if __name__ == "__main__":
         print(f"# bench attempt failed ({type(e).__name__}: {e}); "
               f"{'cleared stale jit cache, ' if stale else ''}retrying once",
               file=sys.stderr)
+        # weather-proofing: leave a parseable record before the sleep in
+        # case the harness timeout lands during it
+        _emit_best_so_far(f"attempt failed: {type(e).__name__}")
         time.sleep(10 if stale else 60)
-        main(n)
+        try:
+            main(n)
+        except Exception as e2:
+            _emit_best_so_far(f"final attempt failed: {type(e2).__name__}")
+            print(f"# bench failed twice ({type(e2).__name__}: {e2})",
+                  file=sys.stderr)

@@ -51,6 +51,13 @@ run_one() {  # name, timeout_s, cmd...
 
 while true; do
     while [ -e /tmp/dsm_cpu_busy ]; do sleep 15; done
+    # another TPU client (interactive session run) holds the device:
+    # wait — one client at a time (CLAUDE.md); stale >20 min is cleared
+    while [ -e /tmp/dsm_tpu_busy ]; do
+        age=$(( $(date +%s) - $(stat -c %Y /tmp/dsm_tpu_busy 2>/dev/null || date +%s) ))
+        [ "$age" -gt 1200 ] && rm -f /tmp/dsm_tpu_busy && break
+        sleep 15
+    done
     ts=$(date -u +%Y-%m-%dT%H:%M:%S)
     if probe; then
         echo "$ts HEALTHY — running battery" >> "$OUT/watch.log"
