@@ -56,6 +56,18 @@ def _build_mapping(args):
         pipelined=getattr(args, "pipelined", False)), cfg
 
 
+def _stereo_config(args):
+    """One StereoConfig construction for every stereo-capable subcommand
+    (ADVICE r3: --no-post-median used to exist only on `stress`, so the
+    post_median default silently applied everywhere else)."""
+    from .models.stereo import StereoConfig
+
+    return StereoConfig(
+        max_disparity=getattr(args, "max_disparity", 128),
+        aggregation="sgm" if getattr(args, "sgm", False) else "box",
+        post_median=not getattr(args, "no_post_median", False))
+
+
 def _finish(mapping, cfg, args, last_frame=None):
     from . import viz
 
@@ -169,12 +181,8 @@ def cmd_synthetic(args):
     else:
         poses = synthetic.forward_trajectory(args.frames, step=0.4)
     if getattr(args, "stereo", False):
-        from .models.stereo import StereoConfig
-        mapping.enable_stereo(
-            bf=cfg.camera.fx * args.baseline,
-            stereo_config=StereoConfig(
-                max_disparity=args.max_disparity,
-                aggregation="sgm" if args.sgm else "box"))
+        mapping.enable_stereo(bf=cfg.camera.fx * args.baseline,
+                              stereo_config=_stereo_config(args))
     t_last = 0.0
     last = None
     eval_set = []
@@ -233,13 +241,9 @@ def cmd_kitti(args):
     if args.stereo:
         # depth is computed INSIDE the fuse program (no per-frame
         # readback; see fuse_step.fuse_frame_stereo_packed)
-        from .models.stereo import StereoConfig
-        mapping.enable_stereo(
-            bf=seq.bf,
-            stereo_config=StereoConfig(
-                max_disparity=args.max_disparity,
-                aggregation="sgm" if args.sgm else "box"),
-            filter_depth=not args.no_depth_filter)
+        mapping.enable_stereo(bf=seq.bf,
+                              stereo_config=_stereo_config(args),
+                              filter_depth=not args.no_depth_filter)
     t_last = 0.0
     last = None
     n = 0
@@ -287,9 +291,8 @@ def cmd_multi(args):
     multi = MultiSessionMapping(cfg, n_streams=B,
                                 pipelined=getattr(args, "pipelined", False))
     if getattr(args, "stereo", False):
-        from .models.stereo import StereoConfig
         multi.enable_stereo(bf=cfg.camera.fx * 0.54,
-                            stereo_config=StereoConfig())
+                            stereo_config=_stereo_config(args))
     scene = synthetic.default_scene()
     t0 = time.perf_counter()
     for i in range(args.frames):
@@ -355,12 +358,8 @@ def cmd_stress(args):
     print(f"stress feed: {args.frames} frames, {seq.n_keyframes} keyframes, "
           f"correction at frame {seq.loop_frame}")
     if getattr(args, "stereo", False):
-        from .models.stereo import StereoConfig
         mapping.enable_stereo(bf=cfg.camera.fx * 0.54,
-                              stereo_config=StereoConfig(
-                                  aggregation="sgm" if args.sgm else "box",
-                                  post_median=not getattr(
-                                      args, "no_post_median", False)))
+                              stereo_config=_stereo_config(args))
     eval_idx = list(range(0, args.frames, max(args.frames // 10, 1)))
     eval_set = {}
     pre = None
@@ -478,12 +477,8 @@ def cmd_serve(args):
 
     mapping, cfg = _build_mapping(args)
     if args.stereo:
-        from .models.stereo import StereoConfig
-        mapping.enable_stereo(
-            bf=cfg.camera.fx * args.baseline,
-            stereo_config=StereoConfig(
-                max_disparity=args.max_disparity,
-                aggregation="sgm" if args.sgm else "box"))
+        mapping.enable_stereo(bf=cfg.camera.fx * args.baseline,
+                              stereo_config=_stereo_config(args))
     address = args.socket if args.socket else (args.host, args.port)
     autosave = (args.out + "_mesh.ply") if args.out else None
     with MappingServer(mapping, address, queue_depth=args.queue_depth,
@@ -599,6 +594,12 @@ def main(argv=None):
                             "surfel_map.cpp:188-198); costs one device->host"
                             " transfer per period")
 
+    def stereo_post_opts(p):
+        p.add_argument("--no-post-median", action="store_true",
+                       help="disable the median/speckle disparity "
+                            "post-filter on --stereo depth (A/B the "
+                            "fidelity effect; BASELINE.md row)")
+
     p = sub.add_parser("synthetic", help="procedural scene demo/benchmark")
     common(p)
     p.add_argument("--frames", type=int, default=120)
@@ -617,6 +618,7 @@ def main(argv=None):
     p.add_argument("--sgm", action="store_true",
                    help="semi-global aggregation for --stereo")
     p.add_argument("--max-disparity", type=int, default=128)
+    stereo_post_opts(p)
     p.set_defaults(fn=cmd_synthetic)
 
     p = sub.add_parser("kitti", help="KITTI odometry sequence replay")
@@ -637,6 +639,7 @@ def main(argv=None):
     p.add_argument("--no-depth-filter", action="store_true",
                    help="skip the median/flying-pixel post-filter on "
                         "stereo depth")
+    stereo_post_opts(p)
     p.set_defaults(fn=cmd_kitti)
 
     p = sub.add_parser("multi", help="multi-session serving demo "
@@ -647,6 +650,9 @@ def main(argv=None):
     p.add_argument("--stereo", action="store_true",
                    help="serve raw stereo pairs: depth computed on-device "
                         "inside the batched fuse program (KITTI baseline)")
+    p.add_argument("--sgm", action="store_true",
+                   help="semi-global aggregation for --stereo")
+    stereo_post_opts(p)
     p.set_defaults(fn=cmd_multi)
 
     p = sub.add_parser("diagnose", help="device-link health probes "
@@ -704,6 +710,7 @@ def main(argv=None):
     p.add_argument("--baseline", type=float, default=0.54)
     p.add_argument("--sgm", action="store_true")
     p.add_argument("--max-disparity", type=int, default=128)
+    stereo_post_opts(p)
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("publish", help="demo client: stream the synthetic "

@@ -18,8 +18,8 @@ Design (TPU-first, no gathers on the hot path):
 * post-filter: a masked 3x3 median gate + hole fill on the final map
   (the cv::filterSpeckles/medianBlur stage of production SGBM) — 9
   static shifts through a 25-comparator sorting network, gather-free
-  (`_median_postfilter`; round-3 fidelity gain on the radius-15 stress
-  twin recorded in BASELINE.md).
+  (`_median_postfilter`; its measured effect on the radius-15 stress
+  twin is the post-median A/B row in BASELINE.md, round 4).
 
 Measured at KITTI size / 127 disparities on a v5e (round 2): box 10 ms;
 8-path census SGM 21.8 ms with the Pallas aggregation backend (29.5 with
@@ -139,15 +139,19 @@ _SORT9 = ((0, 3), (1, 7), (2, 5), (4, 8), (0, 7), (2, 4), (3, 8), (5, 6),
 
 
 def _median_postfilter(disp: jnp.ndarray, speckle_tol: float,
-                       fill_support: int) -> jnp.ndarray:
+                       fill_support: int,
+                       min_support: int = 2) -> jnp.ndarray:
     """Masked 3x3 median gate + hole fill on a 0-invalid disparity map.
 
     The median of the <= 9 valid values in each 3x3 neighborhood (center
     included; lower-middle for even counts) is computed gather-free:
     invalid entries sort to +inf through a 25-comparator network and the
     count-dependent median index is resolved with 8 selects.  Valid
-    pixels farther than `speckle_tol` from the median are zeroed; invalid
-    pixels with >= `fill_support` valid neighbors take the median."""
+    pixels farther than `speckle_tol` from the median are zeroed — and so
+    are valid pixels with fewer than `min_support` valid NEIGHBORS (a
+    fully isolated match always trivially equals its own median, yet is
+    the archetypal speckle; ADVICE r3).  Invalid pixels with >=
+    `fill_support` valid neighbors take the median."""
     h, w = disp.shape
     valid = disp > 0
     pd = jnp.pad(disp, 1, constant_values=0.0)
@@ -167,7 +171,8 @@ def _median_postfilter(disp: jnp.ndarray, speckle_tol: float,
     med = planes[0]
     for i in range(1, 9):
         med = jnp.where(k == i, planes[i], med)
-    keep = valid & (jnp.abs(disp - med) <= speckle_tol)
+    keep = valid & (jnp.abs(disp - med) <= speckle_tol) \
+        & (cnt - 1 >= min_support)
     fill = (~valid) & (cnt >= fill_support)
     return jnp.where(keep, disp, jnp.where(fill, med, 0.0))
 

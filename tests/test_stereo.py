@@ -490,7 +490,7 @@ def test_sgm_bf16_carries_cross_backend_and_accuracy(stereo_pair):
 # post-filter (masked 3x3 median gate + hole fill)
 # ---------------------------------------------------------------------------
 
-def _median_oracle(disp, speckle_tol, fill_support):
+def _median_oracle(disp, speckle_tol, fill_support, min_support=2):
     """NumPy transcription of stereo._median_postfilter semantics."""
     h, w = disp.shape
     out = np.zeros_like(disp)
@@ -502,14 +502,33 @@ def _median_oracle(disp, speckle_tol, fill_support):
                     yy, xx = y + dy, x + dx
                     if 0 <= yy < h and 0 <= xx < w and disp[yy, xx] > 0:
                         vals.append(disp[yy, xx])
-            n = len(vals)
+            n = len(vals)   # includes the center when it is valid
             med = sorted(vals)[(n - 1) // 2] if n else 0.0
             if disp[y, x] > 0:
-                if abs(disp[y, x] - med) <= speckle_tol:
+                if abs(disp[y, x] - med) <= speckle_tol \
+                        and n - 1 >= min_support:
                     out[y, x] = disp[y, x]
             elif n >= fill_support:
                 out[y, x] = med
     return out
+
+
+def test_median_postfilter_rejects_isolated_pixel():
+    """A fully isolated valid pixel trivially equals its own median —
+    the min_support gate must still remove it (ADVICE r3)."""
+    disp = np.zeros((16, 16), np.float32)
+    disp[8, 8] = 12.0               # zero valid neighbors
+    disp[2, 2] = 7.0
+    disp[2, 3] = 7.0                # exactly one valid neighbor each
+    out = np.asarray(stereo._median_postfilter(jnp.asarray(disp), 2.0, 6))
+    assert out[8, 8] == 0.0, "isolated speckle survived"
+    assert out[2, 2] == 0.0 and out[2, 3] == 0.0, \
+        "under-supported pair survived"
+    # a 3x3 block has >= 3 valid neighbors everywhere: all kept
+    disp2 = np.zeros((16, 16), np.float32)
+    disp2[5:8, 5:8] = 9.0
+    out2 = np.asarray(stereo._median_postfilter(jnp.asarray(disp2), 2.0, 9))
+    np.testing.assert_array_equal(out2, disp2)
 
 
 def test_sort9_network_sorts():
