@@ -1,0 +1,2 @@
+#pragma once
+// Stub: included by surfel_map.h, unused by the compiled paths.
