@@ -96,7 +96,30 @@ class StereoConfig(NamedTuple):
     # a 25-comparator sorting network, pure VPU work.
     post_median: bool = True
     speckle_tol: float = 2.0      # px; gate |d - median| on valid pixels
-    fill_support: int = 6         # min valid neighbors to fill a hole
+    fill_support: int = 4         # min valid neighbors to fill a hole
+    post_median_passes: int = 2   # repeated fill passes close 2-px holes
+    # extra disparity-domain median fills AFTER depthfilter.clean_depth in
+    # the fused pipeline (clean_depth's median never fills; see
+    # pipeline/fuse_step.compute_depth_stereo).  Default 0: the pass lifts
+    # DISPARITY-level coverage 0.872 -> 0.904 but measured map-neutral on
+    # the radius-15 twin (BASELINE round 4) — the filled pixels fall in
+    # superpixels that already fit planes, so they create no new stable
+    # surfels.  Kept as a knob for denser depth-map consumers.
+    fill_after_clean: int = 0
+    # Texture floor under SGM (round-4 gate accounting,
+    # experiments/stereo_gates.py on the radius-15 stress scene): with LR
+    # consistency + uniqueness + clean_depth active, the old scaled
+    # texture gate (0.1 * texture_threshold) only LOSES coverage at equal
+    # error (cov 0.696 -> 0.744, mae 0.794 -> 0.788, 10cm-inliers 0.340 ->
+    # 0.384 when dropped).  But EXACT-constant regions must still be
+    # rejected: on a zero-gradient image the masked-BIG wedge breaks
+    # SGM's cost ties asymmetrically, yielding a bogus LR-consistent
+    # d = min_disparity everywhere that even fools the uniqueness gate
+    # (P1 puts `second` at >= 2 while `best` = 0).  The floor is an
+    # absolute near-zero mean-|gradient| threshold — sub-sensor-noise, so
+    # it only bites on degenerate constants.  The box path keeps the full
+    # scaled texture gate (it has no smoothness prior to lean on).
+    sgm_texture_floor: float = 0.05
 
 
 def _box_filter(x: jnp.ndarray, r: int) -> jnp.ndarray:
@@ -386,11 +409,15 @@ def _sgm_aggregate(vol: jnp.ndarray, p1: float, p2: float, n_paths: int,
 
 
 def _disparity_sgm(left: jnp.ndarray, right: jnp.ndarray,
-                   cfg: StereoConfig) -> jnp.ndarray:
+                   cfg: StereoConfig,
+                   diagnostics: bool = False) -> jnp.ndarray:
     """Semi-global-matching disparity: 4/8-path aggregation then WTA with
-    the same sub-pixel / LR-consistency / texture gates as the box path."""
-    h, w = left.shape
-    n_paths = float(cfg.sgm_paths)
+    the same sub-pixel / LR-consistency / texture gates as the box path.
+
+    diagnostics=True additionally returns the per-gate masks (ungated
+    disparity, LR-consistency, texture, cost ceiling, uniqueness) so
+    coverage loss can be attributed per gate (experiments/stereo_gates.py;
+    VERDICT r4 stereo-coverage work)."""
     n_d = cfg.max_disparity - cfg.min_disparity
     if (cfg.sgm_pallas and cfg.cost == "census" and cfg.sgm_fused_census
             and 0 < n_d < 128):
@@ -408,6 +435,16 @@ def _disparity_sgm(left: jnp.ndarray, right: jnp.ndarray,
                              cfg.sgm_pallas,
                              carry_bf16=(cfg.sgm_carry_bf16
                                          and cfg.cost == "census"))
+    return _wta_and_gates(left, agg, cfg, diagnostics)
+
+
+def _wta_and_gates(left: jnp.ndarray, agg: jnp.ndarray, cfg: StereoConfig,
+                   diagnostics: bool = False):
+    """WTA + sub-pixel + validity gates on an aggregated (D', H, W) SGM
+    volume (factored out so sharded aggregation backends —
+    parallel/sgm_sharding.py — reuse the exact same tail)."""
+    h, w = left.shape
+    n_paths = float(cfg.sgm_paths)
     D = agg.shape[0]
 
     # Left WTA + sub-pixel WITHOUT take_along_axis: volume gathers measured
@@ -449,17 +486,21 @@ def _disparity_sgm(left: jnp.ndarray, right: jnp.ndarray,
     dR_at = jnp.take_along_axis(bestR_d, jnp.clip(xl, 0, w - 1), axis=1)
     consistent = (xl >= 0) & (jnp.abs(dR_at - dL) <= cfg.lr_threshold)
 
-    # SGM exists to propagate through weak texture, so the WTA texture
-    # gate is scaled way down — only truly constant regions are rejected
-    # (LR consistency carries the reliability check)
-    grad = jnp.abs(left - _shift_right(left, 1))
-    textured = _box_filter(grad, cfg.radius) >= 0.1 * cfg.texture_threshold
+    # SGM exists to propagate through weak texture: only the degenerate
+    # near-zero-gradient floor is rejected (sgm_texture_floor; see
+    # StereoConfig) — LR consistency + uniqueness carry the reliability
+    # check on real texture
+    if cfg.sgm_texture_floor > 0:
+        grad = jnp.abs(left - _shift_right(left, 1))
+        textured = _box_filter(grad, cfg.radius) >= cfg.sgm_texture_floor
+    else:
+        textured = jnp.ones(left.shape, bool)
 
     # per-path bounded: aggregated best <= n_paths * (C + p2)
     per_path = (cfg.census_ceiling if cfg.cost == "census"
                 else cfg.cost_ceiling)
     ceiling = n_paths * (per_path + cfg.sgm_p2)
-    valid = consistent & textured & (best <= ceiling) & (best < _SGM_BIG)
+    cost_ok = (best <= ceiling) & (best < _SGM_BIG)
 
     if cfg.uniqueness_ratio > 0:
         # best must STRICTLY beat ratio * (min over candidates more than
@@ -467,8 +508,16 @@ def _disparity_sgm(left: jnp.ndarray, right: jnp.ndarray,
         d_ids = jax.lax.broadcasted_iota(jnp.int32, agg.shape, 0)
         far = jnp.abs(d_ids - idx[None]) > 1
         second = jnp.min(jnp.where(far, agg, np.inf), axis=0)
-        valid = valid & (best < cfg.uniqueness_ratio * second)
-    return jnp.where(valid, disp, 0.0)
+        unique = best < cfg.uniqueness_ratio * second
+    else:
+        unique = jnp.ones_like(cost_ok)
+
+    valid = consistent & textured & cost_ok & unique
+    out = jnp.where(valid, disp, 0.0)
+    if diagnostics:
+        return out, dict(disp=disp, consistent=consistent,
+                         textured=textured, cost_ok=cost_ok, unique=unique)
+    return out
 
 
 def disparity(left: jnp.ndarray, right: jnp.ndarray,
@@ -485,8 +534,9 @@ def disparity(left: jnp.ndarray, right: jnp.ndarray,
     if cfg.aggregation == "sgm":
         out = _disparity_sgm(left, right, cfg)
         if cfg.post_median:
-            out = _median_postfilter(out, cfg.speckle_tol,
-                                     cfg.fill_support)
+            for _ in range(cfg.post_median_passes):
+                out = _median_postfilter(out, cfg.speckle_tol,
+                                         cfg.fill_support)
         return out
     h, w = left.shape
     big = jnp.float32(1e10)
@@ -549,7 +599,8 @@ def disparity(left: jnp.ndarray, right: jnp.ndarray,
     valid = consistent & textured & (best <= cfg.cost_ceiling) & (best < big)
     out = jnp.where(valid, disp, 0.0)
     if cfg.post_median:
-        out = _median_postfilter(out, cfg.speckle_tol, cfg.fill_support)
+        for _ in range(cfg.post_median_passes):
+            out = _median_postfilter(out, cfg.speckle_tol, cfg.fill_support)
     return out
 
 

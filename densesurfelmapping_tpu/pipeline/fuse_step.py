@@ -180,6 +180,17 @@ def compute_depth_stereo(config: SurfelMapConfig, stereo_config,
     depth = jnp.where(depth <= config.fuse_far, depth, 0.0)
     if filter_depth:
         depth = depthfilter.clean_depth(depth)
+        # fill-after-clean (round 4, experiments/stereo_gates.py v8):
+        # clean_depth's median never fills, costing ~6% coverage; one
+        # disparity-domain median fill pass on the CLEANED map restores
+        # it at flat error (cov 0.872 -> 0.904, 10cm-inliers 0.429 ->
+        # 0.437, >3px 8.2 -> 8.5% on the radius-15 scene)
+        for _ in range(getattr(stereo_config, "fill_after_clean", 0)
+                       if stereo_config.post_median else 0):
+            d2 = jnp.where(depth > 0, bf / jnp.maximum(depth, 1e-6), 0.0)
+            d2 = stereo_model._median_postfilter(
+                d2, stereo_config.speckle_tol, stereo_config.fill_support)
+            depth = jnp.where(d2 > 0, bf / jnp.maximum(d2, 1e-6), 0.0)
     return depth
 
 

@@ -286,13 +286,15 @@ def test_disparity_gain_bias_invariance_census(stereo_pair):
     cfg, left, true_depth, right = stereo_pair
     scfg = stereo.StereoConfig(max_disparity=64, min_disparity=1, radius=3,
                                aggregation="sgm", cost="census",
-                               sgm_paths=8, texture_threshold=0.0)
+                               sgm_paths=8, texture_threshold=0.0,
+                               sgm_texture_floor=0.0)
     fn = stereo.jitted_disparity(scfg)
     a = np.asarray(fn(jnp.asarray(left), jnp.asarray(right)))
     b = np.asarray(fn(jnp.asarray(left * 1.4 + 9.0),
                       jnp.asarray(right * 1.4 + 9.0)))
-    # the (intensity-based) texture gate is disabled above, so the only
-    # image-dependent pieces are census costs — order-invariant
+    # the intensity-based gates (texture + degenerate floor) are disabled
+    # above, so the only image-dependent pieces are census costs —
+    # order-invariant
     np.testing.assert_array_equal(a, b)
 
 
@@ -580,11 +582,19 @@ def test_median_postfilter_in_pipeline(stereo_pair):
     d_raw = np.asarray(stereo.jitted_disparity(
         stereo.StereoConfig(post_median=False, **base))(l, r))
     d_fil = np.asarray(stereo.jitted_disparity(
-        stereo.StereoConfig(post_median=True, **base))(l, r))
+        stereo.StereoConfig(post_median=True, fill_support=6,
+                            post_median_passes=1, **base))(l, r))
     assert not np.array_equal(d_raw, d_fil)
     # filtered == oracle applied to raw
     np.testing.assert_allclose(
         d_fil, _median_oracle(d_raw, 2.0, 6), atol=1e-6)
+    # the default config (round 4: fill_support=4, two passes) == the
+    # oracle applied twice
+    d_def = np.asarray(stereo.jitted_disparity(
+        stereo.StereoConfig(post_median=True, **base))(l, r))
+    np.testing.assert_allclose(
+        d_def, _median_oracle(_median_oracle(d_raw, 2.0, 4), 2.0, 4),
+        atol=1e-6)
 
     true_disp = np.where(true_depth > 0,
                          CAM.fx * BASELINE / np.maximum(true_depth, 1e-6),
