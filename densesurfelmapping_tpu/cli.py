@@ -187,10 +187,15 @@ def cmd_synthetic(args):
     last = None
     eval_set = []
     t0 = time.perf_counter()
+    dirt = synthetic.DirtModel() if getattr(args, "dirty", False) else None
     try:
         for i, pose in enumerate(poses):
             img, dep = scene.render(cfg, pose)
             stamp = i / max(args.rate, 1e-9) if args.rate > 0 else float(i)
+            fimg, fdep = (synthetic.apply_dirt(
+                img, None if getattr(args, "stereo", False) else dep,
+                i, dirt, cfg.camera.fx * args.baseline)
+                if dirt else (img, dep))
             mapping.feed_pose(stamp, pose,
                               is_keyframe=(i % args.kf_every == 0))
             if getattr(args, "stereo", False):
@@ -198,13 +203,17 @@ def cmd_synthetic(args):
                 rp = np.array(pose, np.float64).copy()
                 rp[:3, 3] += rp[:3, 0] * args.baseline
                 rimg, _ = scene.render(cfg, rp)
-                mapping.feed_stereo(stamp, img, rimg)
+                if dirt:
+                    rimg, _ = synthetic.apply_dirt(rimg, None, i, dirt,
+                                                   cfg.camera.fx *
+                                                   args.baseline, right=True)
+                mapping.feed_stereo(stamp, fimg, rimg)
             else:
-                mapping.feed_image(stamp, img)
-                mapping.feed_depth(stamp, dep)
+                mapping.feed_image(stamp, fimg)
+                mapping.feed_depth(stamp, fdep)
             last = (img, dep)
             if args.eval and i % max(args.frames // 8, 1) == 0:
-                eval_set.append(((img, dep), pose))
+                eval_set.append(((img, dep), pose))  # clean truth
             _maybe_publish(mapping, cfg, args, i)
             t_last = _throttle(args.rate, t_last)
     except KeyboardInterrupt:
@@ -346,17 +355,21 @@ def cmd_stress(args):
     fidelity right before and right after the correction (io/stressfeed)."""
     import json
     from .eval import evaluate_map
-    from .io import stressfeed
+    from .io import stressfeed, synthetic
 
     mapping, cfg = _build_mapping(args)
+    dirt = synthetic.DirtModel() if getattr(args, "dirty", False) else None
+    bf = cfg.camera.fx * 0.54
     seq = stressfeed.make_seq00_like(
         n_frames=args.frames, keyframe_every=args.kf_every,
         radius=args.radius,
         # length-normalized drift: ~0.25 rad + 0.5 m total at loop closure
         drift_yaw=0.25 / args.frames, drift_trans=0.5 / args.frames,
-        revisit_radius=max(0.03 * args.radius, 1.5))
+        revisit_radius=max(0.03 * args.radius, 1.5),
+        moving_box=dirt is not None)
     print(f"stress feed: {args.frames} frames, {seq.n_keyframes} keyframes, "
-          f"correction at frame {seq.loop_frame}")
+          f"correction at frame {seq.loop_frame}"
+          + (", DIRTY (DirtModel + moving box)" if dirt else ""))
     if getattr(args, "stereo", False):
         mapping.enable_stereo(bf=cfg.camera.fx * 0.54,
                               stereo_config=_stereo_config(args))
@@ -367,28 +380,41 @@ def cmd_stress(args):
     t0 = time.perf_counter()
     fuse_s = 0.0
     for i, m in enumerate(seq.feed.messages):
-        img, dep = seq.scene.render(cfg, seq.gt_poses[i])
+        img, dep = seq.scene.render(cfg, seq.gt_poses[i], time=float(i))
         if i == seq.loop_frame:       # snapshot fidelity before the warp
             pre = evaluate_map(mapping, list(eval_set.values())[:5],
                                [seq.gt_poses[j]
                                 for j in list(eval_set)[:5]])
+        # defects go on the FED frames only; eval stays against clean truth
+        fimg, fdep = (synthetic.apply_dirt(
+            img, None if getattr(args, "stereo", False) else dep,
+            i, dirt, bf) if dirt else (img, dep))
         if getattr(args, "stereo", False):
             rp = np.array(seq.gt_poses[i], np.float64).copy()
             rp[:3, 3] += rp[:3, 0] * 0.54
-            rimg, _ = seq.scene.render(cfg, rp)
+            rimg, _ = seq.scene.render(cfg, rp, time=float(i))
+            if dirt:
+                rimg, _ = synthetic.apply_dirt(rimg, None, i, dirt, bf,
+                                               right=True)
         tf = time.perf_counter()
         mapping.feed_pose(m.stamp, m.pose, loop_path=m.loop_path,
                           loop_edges=m.loop_edges,
                           is_keyframe=m.is_keyframe,
                           reference_index=m.reference_index)
         if getattr(args, "stereo", False):
-            mapping.feed_stereo(m.stamp, img, rimg)
+            mapping.feed_stereo(m.stamp, fimg, rimg)
         else:
-            mapping.feed_image(m.stamp, img)
-            mapping.feed_depth(m.stamp, dep)
+            mapping.feed_image(m.stamp, fimg)
+            mapping.feed_depth(m.stamp, fdep)
         fuse_s += time.perf_counter() - tf
         if i in eval_idx:
-            eval_set[i] = (img, dep)
+            if dirt:
+                # clean STATIC world: transient objects must not be in the
+                # converged map, and defects must not be in the truth
+                eval_set[i] = seq.scene.render(cfg, seq.gt_poses[i],
+                                               include_movers=False)
+            else:
+                eval_set[i] = (img, dep)
         last = (img, dep)
         _maybe_publish(mapping, cfg, args, i)
     dt = time.perf_counter() - t0
@@ -618,6 +644,11 @@ def main(argv=None):
     p.add_argument("--sgm", action="store_true",
                    help="semi-global aggregation for --stereo")
     p.add_argument("--max-disparity", type=int, default=128)
+    p.add_argument("--dirty", action="store_true",
+                   help="inject real-data defects (sensor noise, exposure "
+                        "drift, disparity-domain depth noise, outlier "
+                        "bursts, dropout; io/synthetic.DirtModel) — --eval "
+                        "still scores against CLEAN ground truth")
     stereo_post_opts(p)
     p.set_defaults(fn=cmd_synthetic)
 
@@ -675,6 +706,11 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=2000)
     p.add_argument("--radius", type=float, default=60.0,
                    help="circuit radius in meters (60 ~ a KITTI block)")
+    p.add_argument("--dirty", action="store_true",
+                   help="dirty twin: DirtModel defects on every fed frame "
+                        "plus a moving box crossing the circuit; fidelity "
+                        "is scored against the CLEAN static world, so the "
+                        "gap to the clean twin measures the outlier gates")
     p.set_defaults(fn=cmd_stress, kf_every=2)
 
     p = sub.add_parser("tum", help="TUM RGB-D sequence (rgbd profile)")

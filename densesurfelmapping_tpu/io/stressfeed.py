@@ -31,7 +31,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ..io.posefeed import PoseFeed, PoseMessage
-from ..io.synthetic import Box, Scene
+from ..io.synthetic import Box, MovingBox, Scene
 
 
 def circuit_trajectory(n_frames: int, radius: float = 8.0,
@@ -53,10 +53,16 @@ def circuit_trajectory(n_frames: int, radius: float = 8.0,
 
 
 def stress_scene(radius: float = 8.0, n_boxes: int = 12,
-                 seed: int = 0) -> Scene:
+                 seed: int = 0, n_frames: int = 0,
+                 moving: bool = False) -> Scene:
     """World for the circuit: ground plane + boxes scattered around the
     path so every heading sees structure (no far wall — the circuit turns
-    through all headings)."""
+    through all headings).
+
+    moving=True adds a car-sized box crossing the circuit interior over
+    the run (`time` = frame index): a transient object whose surfels the
+    staleness/occlusion kills must reclaim (the --dirty stress; VERDICT
+    r3 item 5)."""
     rng = np.random.default_rng(seed)
     center = np.array([radius, 0.0, 0.0])
     boxes = []
@@ -71,7 +77,21 @@ def stress_scene(radius: float = 8.0, n_boxes: int = 12,
         lo = np.array([c[0] - half, 1.5 - height, c[2] - half])
         hi = np.array([c[0] + half, 1.5, c[2] + half])
         boxes.append(Box(lo=lo, hi=hi))
-    return Scene(ground_y=1.5, wall_z=None, boxes=boxes, max_depth=25.0)
+    movers = []
+    if moving:
+        # a car-sized box crossing the camera's INITIAL forward corridor
+        # (the camera starts at the origin heading +z along the track):
+        # it lingers in view over the first ~quarter lap fusing ghost
+        # surfels, then drifts off; the vacated region is re-observed on
+        # the revisit, where the staleness kill must have reclaimed them
+        span = 1.2 * radius
+        start = np.array([-span / 2, 0.0, 0.8 * radius])
+        vel = np.array([span / max(n_frames, 1), 0.0, 0.0])
+        body = Box(lo=start + np.array([-2.0, -0.2, -0.9]),
+                   hi=start + np.array([2.0, 1.5, 0.9]))
+        movers.append(MovingBox(box=body, velocity=vel))
+    return Scene(ground_y=1.5, wall_z=None, boxes=boxes, max_depth=25.0,
+                 movers=movers)
 
 
 def _drift_delta(yaw: float, trans: float) -> np.ndarray:
@@ -96,11 +116,15 @@ def make_seq00_like(n_frames: int = 2000, keyframe_every: int = 2,
                     drift_trans: float = 2.5e-3, covis_back: int = 4,
                     revisit_radius: float = 2.0, max_edges: int = 35,
                     apply_correction: bool = True,
-                    seed: int = 0) -> StressSequence:
+                    seed: int = 0,
+                    moving_box: bool = False) -> StressSequence:
     """Build the stress sequence.  With apply_correction=False the loop
-    closure never fires (ablation: how bad is the uncorrected map?)."""
+    closure never fires (ablation: how bad is the uncorrected map?).
+    moving_box=True plants a transient object crossing the circuit
+    (render with time=frame_index; see stress_scene)."""
     gt = circuit_trajectory(n_frames, radius)
-    scene = stress_scene(radius, seed=seed)
+    scene = stress_scene(radius, seed=seed, n_frames=n_frames,
+                         moving=moving_box)
 
     drift = np.eye(4)
     msgs: List[PoseMessage] = []
