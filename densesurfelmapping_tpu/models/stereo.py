@@ -106,6 +106,18 @@ class StereoConfig(NamedTuple):
     # superpixels that already fit planes, so they create no new stable
     # surfels.  Kept as a knob for denser depth-map consumers.
     fill_after_clean: int = 0
+    # WTA backend for the aggregated volume.  False: full masked
+    # reductions over (D', H, W) — every reduction re-reads the (fused)
+    # x+y path sums, ~4.6 GB of the pipeline's 7.4 GB at KITTI/127
+    # (BASELINE round 3: the WTA section became the traffic majority
+    # once the kernels stopped materializing the cost volume).  True:
+    # ONE chunked lax.scan over disparity planes maintaining running
+    # best/idx, the subpixel neighbors, prefix/suffix mins for the
+    # uniqueness `second`, and the sheared right-image WTA — the volume
+    # is read once (~0.6 GB incl. carry traffic), outputs BITWISE equal
+    # (tests/test_stereo.py pins streaming == reductions).
+    wta_streaming: bool = True
+    wta_chunk: int = 16           # disparity planes per scan step
     # Texture floor under SGM (round-4 gate accounting,
     # experiments/stereo_gates.py on the radius-15 stress scene): with LR
     # consistency + uniqueness + clean_depth active, the old scaled
@@ -438,33 +450,31 @@ def _disparity_sgm(left: jnp.ndarray, right: jnp.ndarray,
     return _wta_and_gates(left, agg, cfg, diagnostics)
 
 
-def _wta_and_gates(left: jnp.ndarray, agg: jnp.ndarray, cfg: StereoConfig,
-                   diagnostics: bool = False):
-    """WTA + sub-pixel + validity gates on an aggregated (D', H, W) SGM
-    volume (factored out so sharded aggregation backends —
-    parallel/sgm_sharding.py — reuse the exact same tail)."""
-    h, w = left.shape
-    n_paths = float(cfg.sgm_paths)
-    D = agg.shape[0]
+def _wta_reductions(agg: jnp.ndarray, cfg: StereoConfig):
+    """Full-reduction WTA over the aggregated (D', H, W) volume: returns
+    (idx, best, cm, cp, second, bestR_d); cm/cp None without subpixel,
+    second None without the uniqueness gate.
 
-    # Left WTA + sub-pixel WITHOUT take_along_axis: volume gathers measured
-    # ~6 ms EACH on v5e vs ~0.6 ms for a masked reduce.  best is a plain
-    # min; the argmin's neighbors come from one-hot (iota == idx) selects:
-    # agg[idx-1] = min over d of agg[d] masked to d+1 == idx, etc.
+    No take_along_axis anywhere: volume gathers measured ~6 ms EACH on
+    v5e vs ~0.6 ms for a masked reduce.  best is a plain min; the
+    argmin's neighbors come from one-hot (iota == idx) selects:
+    agg[idx-1] = min over d of agg[d] masked to d+1 == idx, etc."""
+    D, h, w = agg.shape
     idx = jnp.argmin(agg, axis=0)                       # (H, W)
     best = jnp.min(agg, axis=0)
-    disp = (idx + cfg.min_disparity).astype(jnp.float32)
 
+    cm = cp = None
     if cfg.subpixel:
         oh = jax.lax.broadcasted_iota(jnp.int32, agg.shape, 0) == idx[None]
         cm = jnp.min(jnp.where(oh[1:], agg[:-1], np.inf), axis=0)
         cp = jnp.min(jnp.where(oh[:-1], agg[1:], np.inf), axis=0)
-        denom = cm + cp - 2.0 * best
-        interior = (idx > 0) & (idx < D - 1) & jnp.isfinite(cm) \
-            & jnp.isfinite(cp) & (denom > 1e-9)
-        delta = jnp.where(interior,
-                          0.5 * (cm - cp) / jnp.maximum(denom, 1e-9), 0.0)
-        disp = disp + jnp.clip(delta, -0.5, 0.5)
+
+    second = None
+    if cfg.uniqueness_ratio > 0:
+        # min over candidates more than 1 disparity away from the winner
+        d_ids = jax.lax.broadcasted_iota(jnp.int32, agg.shape, 0)
+        far = jnp.abs(d_ids - idx[None]) > 1
+        second = jnp.min(jnp.where(far, agg, np.inf), axis=0)
 
     # right-image WTA via the volume identity costR(y,x,d) = costL(y,x+d,d).
     # The shear B[k,y,x] = agg[k,y,x+k+min_d] is realized with pads and ONE
@@ -479,6 +489,107 @@ def _wta_and_gates(left: jnp.ndarray, agg: jnp.ndarray, cfg: StereoConfig,
     volR = sheared.reshape(h, D, w2 + 1)[:, :, cfg.min_disparity:
                                          cfg.min_disparity + w]
     bestR_d = jnp.argmin(volR, axis=1).astype(jnp.int32) + cfg.min_disparity
+    return idx, best, cm, cp, second, bestR_d
+
+
+def _wta_scan(agg: jnp.ndarray, cfg: StereoConfig):
+    """Streaming WTA: same outputs as `_wta_reductions` BITWISE, from ONE
+    chunked lax.scan over the disparity planes (cfg.wta_streaming).
+
+    Every reduction the full-reduction path runs re-reads the (fused)
+    aggregated volume — ~4.6 GB of the 7.4 GB pipeline at KITTI/127
+    (BASELINE round 3).  This pass reads it once, carrying per-pixel
+    running state between chunks of cfg.wta_chunk planes:
+
+    * best/idx: strict `<` keeps the FIRST minimum — argmin semantics;
+    * cm/cp (subpixel neighbors): the previous plane at take time /
+      the plane right after the winner (the box path's streaming trick);
+    * second (uniqueness): min over |d - idx| > 1 decomposes exactly into
+      prefix and suffix parts around the FINAL winner — `sl` latches the
+      min over d <= idx-2 at take time (a two-plane-delayed running min),
+      `post` accumulates d > idx+1 and resets on every take;
+    * bestR_d: the sheared right-volume argmin, one dynamic_slice per
+      plane on a right-inf-padded volume, cast bf16 exactly like the
+      reduction path's sheared volume.
+
+    Pad planes (chunk rounding) are +inf: never win either WTA, and give
+    cp = inf for idx == D-1 exactly as the reduction path does."""
+    D, h, w = agg.shape
+    ch = max(int(cfg.wta_chunk), 1)
+    n_blk = -(-D // ch)
+    dp = n_blk * ch
+    wp = w + dp + cfg.min_disparity      # every shear slice stays in range
+    aggp = jnp.pad(agg, ((0, dp - D), (0, 0), (0, wp - w)),
+                   constant_values=np.inf)
+    xs = aggp.reshape(n_blk, ch, h, wp)
+
+    inf = jnp.full((h, w), np.inf, jnp.float32)
+    carry = dict(
+        best=inf, idx=jnp.zeros((h, w), jnp.int32),
+        cm=inf, cp=inf, prev=inf, min2=inf, sl=inf, post=inf,
+        bestR=jnp.full((h, w), np.inf, jnp.bfloat16),
+        bestRd=jnp.full((h, w), cfg.min_disparity, jnp.int32),
+    )
+
+    def step(c, inp):
+        blk, bi = inp
+        for j in range(ch):
+            d = bi * ch + j
+            plane = blk[j]
+            cl = plane[:, :w]
+            take = cl < c["best"]
+            c["sl"] = jnp.where(take, c["min2"], c["sl"])
+            c["cm"] = jnp.where(take, c["prev"], c["cm"])
+            # old idx on purpose: the plane after the (current) winner
+            c["cp"] = jnp.where(take, np.inf,
+                                jnp.where(d == c["idx"] + 1, cl, c["cp"]))
+            c["post"] = jnp.where(take, np.inf,
+                                  jnp.where(d > c["idx"] + 1,
+                                            jnp.minimum(c["post"], cl),
+                                            c["post"]))
+            c["min2"] = jnp.minimum(c["min2"], c["prev"])   # now <= d-1
+            c["prev"] = cl
+            c["idx"] = jnp.where(take, d, c["idx"])
+            c["best"] = jnp.where(take, cl, c["best"])
+            cr = jax.lax.dynamic_slice(
+                plane, (0, d + cfg.min_disparity),
+                (h, w)).astype(jnp.bfloat16)
+            takeR = cr < c["bestR"]
+            c["bestR"] = jnp.where(takeR, cr, c["bestR"])
+            c["bestRd"] = jnp.where(takeR, d + cfg.min_disparity,
+                                    c["bestRd"])
+        return c, None
+
+    c, _ = jax.lax.scan(step, carry, (xs, jnp.arange(n_blk)))
+    cm = c["cm"] if cfg.subpixel else None
+    cp = c["cp"] if cfg.subpixel else None
+    second = (jnp.minimum(c["sl"], c["post"])
+              if cfg.uniqueness_ratio > 0 else None)
+    return c["idx"], c["best"], cm, cp, second, c["bestRd"]
+
+
+def _wta_and_gates(left: jnp.ndarray, agg: jnp.ndarray, cfg: StereoConfig,
+                   diagnostics: bool = False):
+    """WTA + sub-pixel + validity gates on an aggregated (D', H, W) SGM
+    volume (factored out so sharded aggregation backends —
+    parallel/sgm_sharding.py — reuse the exact same tail).  The WTA
+    reductions come from `_wta_scan` (one streaming volume pass; default)
+    or `_wta_reductions` (full masked reductions), bitwise-equal."""
+    h, w = left.shape
+    n_paths = float(cfg.sgm_paths)
+    D = agg.shape[0]
+
+    wta = _wta_scan if cfg.wta_streaming else _wta_reductions
+    idx, best, cm, cp, second, bestR_d = wta(agg, cfg)
+    disp = (idx + cfg.min_disparity).astype(jnp.float32)
+
+    if cfg.subpixel:
+        denom = cm + cp - 2.0 * best
+        interior = (idx > 0) & (idx < D - 1) & jnp.isfinite(cm) \
+            & jnp.isfinite(cp) & (denom > 1e-9)
+        delta = jnp.where(interior,
+                          0.5 * (cm - cp) / jnp.maximum(denom, 1e-9), 0.0)
+        disp = disp + jnp.clip(delta, -0.5, 0.5)
 
     # LR lookup: dR at (x - dL) should equal dL — one gather along x
     dL = idx + cfg.min_disparity
@@ -505,9 +616,6 @@ def _wta_and_gates(left: jnp.ndarray, agg: jnp.ndarray, cfg: StereoConfig,
     if cfg.uniqueness_ratio > 0:
         # best must STRICTLY beat ratio * (min over candidates more than
         # 1 disparity away) — exact ties (periodic self-similarity) fail
-        d_ids = jax.lax.broadcasted_iota(jnp.int32, agg.shape, 0)
-        far = jnp.abs(d_ids - idx[None]) > 1
-        second = jnp.min(jnp.where(far, agg, np.inf), axis=0)
         unique = best < cfg.uniqueness_ratio * second
     else:
         unique = jnp.ones_like(cost_ok)

@@ -71,6 +71,18 @@ def main(iters: int = 15):
         # measured nonsense (tiny outputs defeat the chain methodology)
         timeit(f"sgm8 census full ({tag})", stereo.jitted_disparity(scfg))
 
+    # round-4 WTA backend A/B: chunked streaming scan (default; one
+    # volume pass, ~0.6 GB) vs full masked reductions (~4.6 GB traffic,
+    # BASELINE r3) — outputs bitwise-equal (tests/test_stereo.py)
+    scfg_red = stereo.StereoConfig(max_disparity=128, min_disparity=1,
+                                   radius=4, aggregation="sgm",
+                                   cost="census", sgm_paths=8,
+                                   wta_streaming=False)
+    outs["wta-reductions"] = np.asarray(
+        stereo.jitted_disparity(scfg_red)(l, r))
+    timeit("sgm8 census full (wta-reductions)",
+           stereo.jitted_disparity(scfg_red))
+
     # isolate the round-3 median/speckle post-filter's own cost
     scfg_np = stereo.StereoConfig(max_disparity=128, min_disparity=1,
                                   radius=4, aggregation="sgm",
@@ -81,8 +93,10 @@ def main(iters: int = 15):
 
     same = np.array_equal(outs["pallas"], outs["lax.scan"])
     same_fused = np.array_equal(outs["pallas-fused"], outs["pallas"])
+    same_wta = np.array_equal(outs["wta-reductions"], outs["pallas-fused"])
     print(f"disparity maps identical: pallas==scan {same}, "
-          f"fused==materialized {same_fused}")
+          f"fused==materialized {same_fused}, "
+          f"streaming-wta==reductions {same_wta}")
 
 
 if __name__ == "__main__":

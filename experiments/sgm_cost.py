@@ -56,6 +56,9 @@ def main():
     print(f"backend={jax.default_backend()}  frame {w}x{h}  D={D}")
     analyze("full pipeline (fused census)",
             lambda l, r: stereo.disparity(l, r, scfg), l, r)
+    scfg_red = scfg._replace(wta_streaming=False)
+    analyze("full pipeline (wta-reductions)",
+            lambda l, r: stereo.disparity(l, r, scfg_red), l, r)
     scfg_mat = scfg._replace(sgm_fused_census=False)
     analyze("full pipeline (materialized)",
             lambda l, r: stereo.disparity(l, r, scfg_mat), l, r)

@@ -608,3 +608,32 @@ def test_median_postfilter_in_pipeline(stereo_pair):
     cov_fil, med_fil = stats(d_fil)
     assert cov_fil >= cov_raw - 0.01, (cov_raw, cov_fil)
     assert med_fil <= med_raw + 0.02, (med_raw, med_fil)
+
+
+@pytest.mark.parametrize("paths,subpixel,uniq,min_d,chunk", [
+    (8, True, 0.95, 1, 16),
+    (8, True, 0.95, 1, 5),      # chunk not dividing D' (pad planes)
+    (8, False, 0.0, 4, 16),     # no subpixel, no uniqueness, min_d > 1
+    (4, True, 0.0, 1, 16),
+    (4, False, 0.95, 2, 16),
+])
+def test_wta_streaming_matches_reductions(stereo_pair, paths, subpixel,
+                                          uniq, min_d, chunk):
+    """The chunked streaming WTA (one volume pass; wta_streaming default)
+    equals the full-reduction WTA BITWISE across subpixel/uniqueness/
+    min_disparity/chunk-padding combinations — including cm/cp via the
+    box-path streaming trick, `second` via the prefix/suffix-min
+    decomposition, and the bf16 sheared right WTA."""
+    _, li, _, ri = stereo_pair
+    l, r = jnp.asarray(li), jnp.asarray(ri)
+    base = dict(max_disparity=48, min_disparity=min_d, aggregation="sgm",
+                cost="census", sgm_paths=paths, sgm_pallas=False,
+                post_median=False, subpixel=subpixel,
+                uniqueness_ratio=uniq)
+    want = stereo.jitted_disparity(
+        stereo.StereoConfig(wta_streaming=False, **base))(l, r)
+    got = stereo.jitted_disparity(
+        stereo.StereoConfig(wta_streaming=True, wta_chunk=chunk,
+                            **base))(l, r)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert (np.asarray(want) > 0).mean() > 0.3
