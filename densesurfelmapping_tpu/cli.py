@@ -65,7 +65,8 @@ def _stereo_config(args):
     return StereoConfig(
         max_disparity=getattr(args, "max_disparity", 128),
         aggregation="sgm" if getattr(args, "sgm", False) else "box",
-        post_median=not getattr(args, "no_post_median", False))
+        post_median=not getattr(args, "no_post_median", False),
+        occlusion_fill=getattr(args, "occlusion_fill", False))
 
 
 def _finish(mapping, cfg, args, last_frame=None):
@@ -625,6 +626,12 @@ def main(argv=None):
                        help="disable the median/speckle disparity "
                             "post-filter on --stereo depth (A/B the "
                             "fidelity effect; BASELINE.md row)")
+        p.add_argument("--occlusion-fill", action="store_true",
+                       help="enable the scanline background-propagating "
+                            "occlusion fill on --stereo depth (default "
+                            "off: measured a net map-level loss, "
+                            "BASELINE.md round-4 row; useful for dense "
+                            "depth-map consumers)")
 
     p = sub.add_parser("synthetic", help="procedural scene demo/benchmark")
     common(p)
@@ -703,6 +710,9 @@ def main(argv=None):
     p.add_argument("--no-post-median", action="store_true",
                    help="disable the median/speckle disparity post-filter "
                         "(A/B the round-3 fidelity gain)")
+    p.add_argument("--occlusion-fill", action="store_true",
+                   help="enable the scanline occlusion fill "
+                        "(A/B the round-4 map-level row)")
     p.add_argument("--frames", type=int, default=2000)
     p.add_argument("--radius", type=float, default=60.0,
                    help="circuit radius in meters (60 ~ a KITTI block)")

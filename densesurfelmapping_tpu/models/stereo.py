@@ -19,7 +19,13 @@ Design (TPU-first, no gathers on the hot path):
   (the cv::filterSpeckles/medianBlur stage of production SGBM) — 9
   static shifts through a 25-comparator sorting network, gather-free
   (`_median_postfilter`; its measured effect on the radius-15 stress
-  twin is the post-median A/B row in BASELINE.md, round 4).
+  twin is the post-median A/B row in BASELINE.md, round 4);
+* occlusion fill: scanline background propagation across LR-rejected
+  bands (`_scanline_fill` — cummax/cummin anchor scans, min() across
+  discontinuities, lerp inside surfaces; round 4);
+* hierarchical mode: half-res SGM solve + band-limited full-res census
+  refine (`_disparity_hier`, cfg.hierarchical — ~4x less aggregation
+  work; A/B in experiments/hier_ab.py).
 
 Measured at KITTI size / 127 disparities on a v5e (round 2): box 10 ms;
 8-path census SGM 21.8 ms with the Pallas aggregation backend (29.5 with
@@ -118,6 +124,52 @@ class StereoConfig(NamedTuple):
     # (tests/test_stereo.py pins streaming == reductions).
     wta_streaming: bool = True
     wta_chunk: int = 16           # disparity planes per scan step
+    # Occlusion fill (round 4): after the validity gates, the dominant
+    # residual coverage loss is LR-failed bands at depth discontinuities —
+    # background pixels visible in the left image but occluded in the
+    # right, which CANNOT match and are correctly rejected.  The classic
+    # SGM occlusion treatment fills each invalid pixel with the SMALLER
+    # (= background) of the nearest valid disparities to its left and
+    # right along the scanline: at a true occlusion band the left anchor
+    # is the background surface and the right anchor the foreground edge,
+    # so min() extends the background — geometrically correct for
+    # occlusions, and harmless inside a surface (both anchors agree).
+    # Gather-light: two cummax/cummin index scans + two row gathers on the
+    # FINAL (H, W) map (the expensive gathers to avoid are on the (D,H,W)
+    # volume).  Bridged runs are capped at `occlusion_max_gap` px so the
+    # fill never extrapolates across large unmatched areas (degenerate
+    # texture, out-of-range geometry).  Runs before the median post-filter
+    # so the speckle gate can still kill inconsistent fills.
+    #
+    # DEFAULT OFF, measured round 4: at the DISPARITY level the fill
+    # lifts coverage 0.866 -> 0.91 but inflates MAE 1.03 -> 1.6 px
+    # (constant/lerp extension across slanted surfaces), and at the MAP
+    # level it is a net LOSS on the radius-15 twin — coverage 0.564 ->
+    # 0.529, MAE 0.486 -> 0.504 m, F1 flat (0.665 -> 0.666): filled
+    # pixels drag superpixel plane fits past the inlier gate, killing
+    # whole superpixels that fit fine on sparse-but-clean depth.  Kept as
+    # a knob for dense-depth-map consumers (`--occlusion-fill`), same
+    # verdict as fill_after_clean.
+    occlusion_fill: bool = False
+    occlusion_max_gap: int = 32
+    # anchors closer than this (px) mark a within-surface gap: linearly
+    # interpolate instead of constant min-fill (see _scanline_fill)
+    occlusion_lerp_tol: float = 3.0
+    # Hierarchical (coarse-to-fine) SGM (round 4): run the full SGM
+    # pipeline at HALF resolution and HALF disparity range (~4x less
+    # aggregation work — the scan kernels' step count and row lanes both
+    # halve, and the volume shrinks 8x), then refine at full resolution
+    # with a per-pixel local census WTA over a narrow band around the
+    # upsampled coarse winner (2*hier_band+1 candidates, box-aggregated
+    # Hamming costs, parabola subpixel).  The classic hierarchical-SGM
+    # trade: large coherent structure comes from the smoothed coarse
+    # solve; fine detail narrower than ~2 px at half resolution can be
+    # missed.  Validity = upsampled coarse gates (LR/uniqueness/texture
+    # ran at half res) AND the refined cost ceiling.  Fidelity/perf A/B:
+    # experiments/hier_ab.py; BASELINE.md round-4 row.
+    hierarchical: bool = False
+    hier_band: int = 3            # refine band half-width (full-res px)
+    hier_refine_radius: int = 2   # box aggregation radius for refine costs
     # Texture floor under SGM (round-4 gate accounting,
     # experiments/stereo_gates.py on the radius-15 stress scene): with LR
     # consistency + uniqueness + clean_depth active, the old scaled
@@ -210,6 +262,42 @@ def _median_postfilter(disp: jnp.ndarray, speckle_tol: float,
         & (cnt - 1 >= min_support)
     fill = (~valid) & (cnt >= fill_support)
     return jnp.where(keep, disp, jnp.where(fill, med, 0.0))
+
+
+def _scanline_fill(disp: jnp.ndarray, max_gap: int,
+                   lerp_tol: float = 0.0) -> jnp.ndarray:
+    """Background-propagating occlusion fill on a 0-invalid disparity map.
+
+    Each invalid pixel bounded by valid pixels on BOTH sides of its row
+    (run length <= max_gap) is filled from its two nearest valid anchors
+    (see StereoConfig.occlusion_fill):
+
+    * anchors within `lerp_tol` px of each other — the gap lies INSIDE one
+      surface — linearly interpolate between them (a constant fill would
+      ignore the surface's slope, the main error source of classic
+      min-fill on ground planes);
+    * anchors farther apart — a depth discontinuity, so the gap is an
+      occlusion band — take the MINIMUM: the smaller disparity is the
+      farther surface, which is the one an occluded pixel belongs to.
+
+    lerp_tol=0 disables interpolation (pure classic min-fill).  Valid
+    pixels and unbounded / over-long runs pass through unchanged."""
+    h, w = disp.shape
+    valid = disp > 0
+    x = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    li = jax.lax.cummax(jnp.where(valid, x, -1), axis=1)       # <= x valid
+    ri = jax.lax.cummin(jnp.where(valid, x, w), axis=1,        # >= x valid
+                        reverse=True)
+    bounded = (li >= 0) & (ri < w) & (ri - li - 1 <= max_gap)
+    ld = jnp.take_along_axis(disp, jnp.clip(li, 0, w - 1), axis=1)
+    rd = jnp.take_along_axis(disp, jnp.clip(ri, 0, w - 1), axis=1)
+    fill = jnp.minimum(ld, rd)
+    if lerp_tol > 0:
+        t = (x - li).astype(jnp.float32) \
+            / jnp.maximum(ri - li, 1).astype(jnp.float32)
+        fill = jnp.where(jnp.abs(ld - rd) <= lerp_tol,
+                         ld + t * (rd - ld), fill)
+    return jnp.where(~valid & bounded, fill, disp)
 
 
 _SGM_BIG = 1e4   # finite out-of-range cost (SGM adds bounded penalties)
@@ -450,6 +538,74 @@ def _disparity_sgm(left: jnp.ndarray, right: jnp.ndarray,
     return _wta_and_gates(left, agg, cfg, diagnostics)
 
 
+def _downsample2(img: jnp.ndarray) -> jnp.ndarray:
+    """2x2 mean pool (edge-pad to even first)."""
+    h, w = img.shape
+    img = jnp.pad(img, ((0, h % 2), (0, w % 2)), mode="edge")
+    return 0.25 * (img[0::2, 0::2] + img[1::2, 0::2]
+                   + img[0::2, 1::2] + img[1::2, 1::2])
+
+
+def _disparity_hier(left: jnp.ndarray, right: jnp.ndarray,
+                    cfg: StereoConfig) -> jnp.ndarray:
+    """Coarse-to-fine SGM (cfg.hierarchical; see StereoConfig): half-res
+    SGM solve, nearest upsample, band-limited full-res census refine.
+
+    The refine is gather-light: 2*hier_band+1 per-pixel row gathers on the
+    (H, W) right CENSUS image (the ~6 ms/gather trap is (D, H, W) volume
+    gathers; (H, W) row gathers are what the LR check already uses), each
+    followed by a popcount and a separable box mean.  The coarse winner's
+    running WTA tracks the subpixel neighbors exactly like the box path."""
+    h, w = left.shape
+    half = _disparity_sgm(_downsample2(left), _downsample2(right),
+                          cfg._replace(
+                              max_disparity=max(cfg.max_disparity // 2, 3),
+                              min_disparity=max(cfg.min_disparity // 2, 1),
+                              hierarchical=False))
+    # nearest ("repeat") upsample; disparities double with resolution
+    up = jnp.repeat(jnp.repeat(half, 2, axis=0), 2, axis=1)[:h, :w]
+    d0 = jnp.round(2.0 * up).astype(jnp.int32)
+    coarse_valid = up > 0
+
+    cl = _census(left, cfg.census_radius)
+    cr = _census(right, cfg.census_radius)
+    x = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    big = jnp.float32(_SGM_BIG)
+
+    best = jnp.full((h, w), big)
+    best_k = jnp.zeros((h, w), jnp.int32)
+    prev_c = jnp.full((h, w), big)
+    cm = jnp.full((h, w), big)
+    cp = jnp.full((h, w), big)
+    for k in range(-cfg.hier_band, cfg.hier_band + 1):
+        d = d0 + k
+        xs = x - d
+        c = jax.lax.population_count(
+            cl ^ jnp.take_along_axis(cr, jnp.clip(xs, 0, w - 1), axis=1)
+        ).astype(jnp.float32)
+        c = _box_filter(c, cfg.hier_refine_radius)
+        ok = (xs >= 0) & (d >= cfg.min_disparity) & (d < cfg.max_disparity)
+        c = jnp.where(ok, c, big)
+        take = c < best
+        cp = jnp.where(take, big, jnp.where(best_k == k - 1, c, cp))
+        cm = jnp.where(take, prev_c, cm)
+        best = jnp.where(take, c, best)
+        best_k = jnp.where(take, k, best_k)
+        prev_c = c
+
+    disp = (d0 + best_k).astype(jnp.float32)
+    if cfg.subpixel:
+        denom = cm + cp - 2.0 * best
+        interior = (cm < big) & (cp < big) & (denom > 1e-9)
+        delta = jnp.where(interior,
+                          0.5 * (cm - cp) / jnp.maximum(denom, 1e-9), 0.0)
+        disp = disp + jnp.clip(delta, -0.5, 0.5)
+
+    valid = coarse_valid & (best <= cfg.census_ceiling) \
+        & (disp >= cfg.min_disparity) & (disp < cfg.max_disparity)
+    return jnp.where(valid, disp, 0.0)
+
+
 def _wta_reductions(agg: jnp.ndarray, cfg: StereoConfig):
     """Full-reduction WTA over the aggregated (D', H, W) volume: returns
     (idx, best, cm, cp, second, bestR_d); cm/cp None without subpixel,
@@ -640,7 +796,11 @@ def disparity(left: jnp.ndarray, right: jnp.ndarray,
     """
     cfg = config
     if cfg.aggregation == "sgm":
-        out = _disparity_sgm(left, right, cfg)
+        out = (_disparity_hier if cfg.hierarchical
+               else _disparity_sgm)(left, right, cfg)
+        if cfg.occlusion_fill and cfg.occlusion_max_gap > 0:
+            out = _scanline_fill(out, cfg.occlusion_max_gap,
+                                 cfg.occlusion_lerp_tol)
         if cfg.post_median:
             for _ in range(cfg.post_median_passes):
                 out = _median_postfilter(out, cfg.speckle_tol,
@@ -706,6 +866,9 @@ def disparity(left: jnp.ndarray, right: jnp.ndarray,
 
     valid = consistent & textured & (best <= cfg.cost_ceiling) & (best < big)
     out = jnp.where(valid, disp, 0.0)
+    if cfg.occlusion_fill and cfg.occlusion_max_gap > 0:
+        out = _scanline_fill(out, cfg.occlusion_max_gap,
+                             cfg.occlusion_lerp_tol)
     if cfg.post_median:
         for _ in range(cfg.post_median_passes):
             out = _median_postfilter(out, cfg.speckle_tol, cfg.fill_support)

@@ -63,7 +63,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.stereo import (StereoConfig, _axis_scan, _census,
-                             _wta_and_gates, _median_postfilter, _SGM_BIG)
+                             _wta_and_gates, _median_postfilter,
+                             _scanline_fill, _SGM_BIG)
 
 _AXIS = "surfel"
 
@@ -187,6 +188,9 @@ def sharded_sgm_disparity(mesh: Mesh, cfg: StereoConfig, height: int,
 
         agg = x_agg + y_agg          # GSPMD inserts the family reshard
         out = _wta_and_gates(left, agg, cfg)
+        if cfg.occlusion_fill and cfg.occlusion_max_gap > 0:
+            out = _scanline_fill(out, cfg.occlusion_max_gap,
+                                 cfg.occlusion_lerp_tol)
         if cfg.post_median:
             for _ in range(cfg.post_median_passes):
                 out = _median_postfilter(out, cfg.speckle_tol,

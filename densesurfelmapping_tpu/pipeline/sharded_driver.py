@@ -61,18 +61,13 @@ def scatter_rows_to_sharded(config, mesh, rows: dict):
 
 
 def gather_sharded_bank(banks, n_shards: int, stream: int = 0) -> dict:
-    """Host dict of a sharded bank's live per-shard prefixes, concatenated."""
+    """Host dict of a sharded bank's live per-shard prefixes, concatenated
+    (slab layout via the canonical `sharding.live_rows` helper)."""
+    from ..parallel.sharding import live_rows
+
     counts = np.asarray(banks.count)[stream]         # (n_shards,)
-    shard_rows = banks.position.shape[1] // n_shards
-    host = {k: np.asarray(getattr(banks, k))[stream] for k in FIELDS}
-    out = {k: [] for k in FIELDS}
-    for s in range(n_shards):
-        lo = s * shard_rows
-        c = int(counts[s])
-        for k in FIELDS:
-            out[k].append(host[k][lo:lo + c])
-    return {k: np.concatenate(v) if v else np.zeros((0,))
-            for k, v in out.items()}
+    return {k: live_rows(np.asarray(getattr(banks, k))[stream], counts)
+            for k in FIELDS}
 
 
 class ShardedSurfelMapping(SurfelMapping):

@@ -46,6 +46,8 @@ def main(n_frames=4, radius=15.0):
         l, r, scfg, diagnostics=True))
     postfilter = jax.jit(lambda d, fs: stereo._median_postfilter(
         d, scfg.speckle_tol, fs), static_argnums=1)
+    scanfill = jax.jit(lambda d, g, t: stereo._scanline_fill(d, g, t),
+                       static_argnums=(1, 2))
     clean = jax.jit(depthfilter.clean_depth)
 
     # accumulate per-config stats over frames
@@ -89,12 +91,16 @@ def main(n_frames=4, radius=15.0):
         masks = {k: np.asarray(v) for k, v in d.items() if k != "disp"}
 
         def chain(mask_disp, fs=None, n_med=0, do_clean=False,
-                  fill_after=0):
-            """host-side post chain: optional n_med post-median passes
-            (fill_support fs) then optional clean_depth, then fill_after
-            more median passes (restores coverage clean_depth's
-            non-filling median removed); returns disparity"""
+                  fill_after=0, occl_gap=0, occl_lerp=0.0):
+            """host-side post chain: optional occlusion scanline fill
+            (occl_gap px cap), then n_med post-median passes (fill_support
+            fs), then optional clean_depth, then fill_after more median
+            passes (restores coverage clean_depth's non-filling median
+            removed); returns disparity"""
             d_ = mask_disp
+            if occl_gap:
+                d_ = np.asarray(scanfill(jnp.asarray(
+                    d_.astype(np.float32)), occl_gap, occl_lerp))
             for _ in range(n_med):
                 d_ = np.asarray(postfilter(jnp.asarray(
                     d_.astype(np.float32)), fs))
@@ -147,6 +153,36 @@ def main(n_frames=4, radius=15.0):
         add("v9 v6 + fill-after-clean x2", chain(no_tex, 4, 2, True, 2),
             true_disp, in_range, dep, bf)
         add("va fs=3 x2 + clean + fill x1", chain(no_tex, 3, 2, True, 1),
+            true_disp, in_range, dep, bf)
+        # ---- round-4 occlusion-fill variants on the shipped chain
+        # (all gates incl. the texture floor, fs=4, median x2, clean) ----
+        add("w0 shipped chain (fs=4 x2 clean)",
+            chain(gated, 4, 2, True), true_disp, in_range, dep, bf)
+        add("w1 occl-fill 16 + shipped chain",
+            chain(gated, 4, 2, True, occl_gap=16),
+            true_disp, in_range, dep, bf)
+        add("w2 occl-fill 32 + shipped chain",
+            chain(gated, 4, 2, True, occl_gap=32),
+            true_disp, in_range, dep, bf)
+        add("w3 occl-fill 64 + shipped chain",
+            chain(gated, 4, 2, True, occl_gap=64),
+            true_disp, in_range, dep, bf)
+        add("w4 occl-fill 127 + shipped chain",
+            chain(gated, 4, 2, True, occl_gap=127),
+            true_disp, in_range, dep, bf)
+        # lerp variants: interpolate within-surface gaps (anchors within
+        # tol), min-fill only across discontinuities
+        add("w5 fill 32/lerp 3 + shipped chain",
+            chain(gated, 4, 2, True, occl_gap=32, occl_lerp=3.0),
+            true_disp, in_range, dep, bf)
+        add("w6 fill 64/lerp 3 + shipped chain",
+            chain(gated, 4, 2, True, occl_gap=64, occl_lerp=3.0),
+            true_disp, in_range, dep, bf)
+        add("w7 fill 64/lerp 6 + shipped chain",
+            chain(gated, 4, 2, True, occl_gap=64, occl_lerp=6.0),
+            true_disp, in_range, dep, bf)
+        add("w8 fill 127/lerp 1e9 (pure lerp)",
+            chain(gated, 4, 2, True, occl_gap=127, occl_lerp=1e9),
             true_disp, in_range, dep, bf)
 
     print(f"\n{'config':38s} {'cov':>6s} {'mae':>7s} {'med':>7s} "

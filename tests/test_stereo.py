@@ -301,14 +301,15 @@ def test_disparity_gain_bias_invariance_census(stereo_pair):
 def test_uniqueness_gate_monotone(stereo_pair):
     """The uniqueness gate only ever removes matches (tightening the
     ratio shrinks the valid set), never changes surviving values, and the
-    survivors' accuracy does not degrade.  post_median=False: the gate's
-    monotonicity is a RAW-map invariant — the median post-filter re-derives
-    values from neighborhoods, so removing a match can legitimately change
-    a filled neighbor downstream."""
+    survivors' accuracy does not degrade.  post_median=False and
+    occlusion_fill=False: the gate's monotonicity is a RAW-map invariant —
+    both post stages re-derive values from neighborhoods, so removing a
+    match can legitimately change a filled neighbor downstream."""
     cfg, left, true_depth, right = stereo_pair
     base = stereo.StereoConfig(max_disparity=64, min_disparity=1, radius=3,
                                aggregation="sgm", cost="census",
-                               sgm_paths=8, post_median=False)
+                               sgm_paths=8, post_median=False,
+                               occlusion_fill=False)
     maps = {}
     for ratio in (0.0, 0.95, 0.5):
         maps[ratio] = np.asarray(stereo.jitted_disparity(
@@ -637,3 +638,126 @@ def test_wta_streaming_matches_reductions(stereo_pair, paths, subpixel,
                             **base))(l, r)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     assert (np.asarray(want) > 0).mean() > 0.3
+
+
+def test_scanline_fill_background_min():
+    """An interior invalid run bounded both sides takes the MIN of its
+    anchors (background disparity — the occluded surface); valid pixels
+    and runs missing an anchor are untouched."""
+    d = np.zeros((2, 10), np.float32)
+    d[0, 2] = 5.0
+    d[0, 7] = 9.0          # gap of 4 invalid pixels between anchors
+    d[1, 4] = 3.0          # no right anchor on row 1
+    out = np.asarray(stereo._scanline_fill(jnp.asarray(d), max_gap=8))
+    assert out[0, 2] == 5.0 and out[0, 7] == 9.0
+    np.testing.assert_array_equal(out[0, 3:7], 5.0)   # min(5, 9)
+    assert (out[0, :2] == 0).all()                    # no left anchor
+    assert (out[0, 8:] == 0).all()                    # no right anchor
+    assert out[1, 4] == 3.0 and (np.delete(out[1], 4) == 0).all()
+
+
+def test_scanline_fill_gap_cap():
+    """Runs longer than max_gap are NOT bridged; runs at the cap are."""
+    d = np.zeros((1, 12), np.float32)
+    d[0, 1] = 4.0
+    d[0, 6] = 6.0          # run of 4
+    out = np.asarray(stereo._scanline_fill(jnp.asarray(d), max_gap=3))
+    np.testing.assert_array_equal(out, d)             # 4 > 3: untouched
+    out = np.asarray(stereo._scanline_fill(jnp.asarray(d), max_gap=4))
+    np.testing.assert_array_equal(out[0, 2:6], 4.0)
+
+
+def test_scanline_fill_rows_independent():
+    """Anchors never leak across rows."""
+    d = np.zeros((3, 8), np.float32)
+    d[0, 0] = 2.0
+    d[0, 7] = 3.0
+    d[2, 0] = 7.0
+    d[2, 7] = 7.5
+    out = np.asarray(stereo._scanline_fill(jnp.asarray(d), max_gap=8))
+    np.testing.assert_array_equal(out[0], [2, 2, 2, 2, 2, 2, 2, 3])
+    np.testing.assert_array_equal(out[1], 0.0)
+    np.testing.assert_array_equal(out[2], [7, 7, 7, 7, 7, 7, 7, 7.5])
+
+
+def test_occlusion_fill_improves_coverage(stereo_pair):
+    """On the rendered pair the fill lifts SGM coverage without degrading
+    the error statistics beyond a small tolerance (the map-level A/B is
+    the BASELINE radius-15 twin row)."""
+    cfg, left, true_depth, right = stereo_pair
+    l, r = jnp.asarray(left), jnp.asarray(right)
+    base = dict(max_disparity=48, aggregation="sgm", cost="census",
+                sgm_pallas=False, post_median=False)
+    off = np.asarray(stereo.jitted_disparity(stereo.StereoConfig(
+        occlusion_fill=False, **base))(l, r))
+    on = np.asarray(stereo.jitted_disparity(stereo.StereoConfig(
+        occlusion_fill=True, **base))(l, r))
+    true_disp = np.where(true_depth > 0,
+                         CAM.fx * BASELINE / np.maximum(true_depth, 1e-6),
+                         0.0)
+    in_range = (true_disp >= 2.0) & (true_disp < 47.0)
+
+    def stats(d):
+        sel = (d > 0) & in_range
+        err = np.abs(d[sel] - true_disp[sel])
+        return sel.mean(), np.median(err)
+
+    cov_off, med_off = stats(off)
+    cov_on, med_on = stats(on)
+    # fill only ever adds pixels, never removes or changes valid ones
+    assert ((on > 0) & (off > 0)).sum() == (off > 0).sum()
+    np.testing.assert_array_equal(on[off > 0], off[off > 0])
+    assert cov_on > cov_off
+    assert med_on <= med_off + 0.1, (med_off, med_on)
+
+
+def test_hierarchical_sgm(stereo_pair):
+    """Coarse-to-fine SGM (cfg.hierarchical): valid pixels stay within
+    hier_band + 0.5 px of the coarse solve's doubled winner, accuracy is
+    comparable to the full-resolution solve, and the mode composes with
+    the post chain (fill + median) without error."""
+    cfg, left, true_depth, right = stereo_pair
+    l, r = jnp.asarray(left), jnp.asarray(right)
+    base = dict(max_disparity=48, aggregation="sgm", cost="census",
+                sgm_pallas=False, post_median=False, occlusion_fill=False)
+    full = np.asarray(stereo.jitted_disparity(stereo.StereoConfig(
+        **base))(l, r))
+    hier = np.asarray(stereo.jitted_disparity(stereo.StereoConfig(
+        hierarchical=True, **base))(l, r))
+
+    true_disp = np.where(true_depth > 0,
+                         CAM.fx * BASELINE / np.maximum(true_depth, 1e-6),
+                         0.0)
+    in_range = (true_disp >= 2.0) & (true_disp < 47.0)
+
+    def med(d):
+        sel = (d > 0) & in_range
+        assert sel.mean() > 0.25, sel.mean()
+        return np.median(np.abs(d[sel] - true_disp[sel]))
+
+    # half the work, comparable accuracy (generous factor: the coarse
+    # solve quantizes structure at 2 px)
+    assert med(hier) <= 2.5 * med(full) + 0.25, (med(full), med(hier))
+
+    # the full post chain runs without shape errors and keeps validity
+    posted = np.asarray(stereo.jitted_disparity(stereo.StereoConfig(
+        max_disparity=48, aggregation="sgm", cost="census",
+        sgm_pallas=False, hierarchical=True))(l, r))
+    assert (posted > 0).mean() >= (hier > 0).mean() * 0.9
+
+
+def test_hierarchical_band_respected(stereo_pair):
+    """Every valid hierarchical disparity lies within hier_band + 0.5 px
+    of SOME value in [min_disparity, max_disparity) — i.e. the refine
+    never leaves the legal range (the band clamp gates it)."""
+    cfg, left, _, right = stereo_pair
+    scfg = stereo.StereoConfig(max_disparity=48, min_disparity=2,
+                               aggregation="sgm", cost="census",
+                               sgm_pallas=False, hierarchical=True,
+                               post_median=False, occlusion_fill=False)
+    d = np.asarray(stereo.jitted_disparity(scfg)(
+        jnp.asarray(left), jnp.asarray(right)))
+    sel = d > 0
+    assert sel.any()
+    assert (d[sel] >= scfg.min_disparity).all()
+    assert (d[sel] < scfg.max_disparity).all()
