@@ -66,7 +66,8 @@ def _stereo_config(args):
         max_disparity=getattr(args, "max_disparity", 128),
         aggregation="sgm" if getattr(args, "sgm", False) else "box",
         post_median=not getattr(args, "no_post_median", False),
-        occlusion_fill=getattr(args, "occlusion_fill", False))
+        occlusion_fill=getattr(args, "occlusion_fill", False),
+        hierarchical=getattr(args, "hier", False))
 
 
 def _finish(mapping, cfg, args, last_frame=None):
@@ -632,6 +633,11 @@ def main(argv=None):
                             "off: measured a net map-level loss, "
                             "BASELINE.md round-4 row; useful for dense "
                             "depth-map consumers)")
+        p.add_argument("--hier", action="store_true",
+                       help="hierarchical (coarse-to-fine) SGM: half-res "
+                            "solve + band-limited full-res census refine "
+                            "(~4x less aggregation work; A/B in "
+                            "BASELINE.md round 4)")
 
     p = sub.add_parser("synthetic", help="procedural scene demo/benchmark")
     common(p)
@@ -713,6 +719,8 @@ def main(argv=None):
     p.add_argument("--occlusion-fill", action="store_true",
                    help="enable the scanline occlusion fill "
                         "(A/B the round-4 map-level row)")
+    p.add_argument("--hier", action="store_true",
+                   help="hierarchical (coarse-to-fine) SGM for --stereo")
     p.add_argument("--frames", type=int, default=2000)
     p.add_argument("--radius", type=float, default=60.0,
                    help="circuit radius in meters (60 ~ a KITTI block)")

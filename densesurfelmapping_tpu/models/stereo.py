@@ -170,6 +170,11 @@ class StereoConfig(NamedTuple):
     hierarchical: bool = False
     hier_band: int = 3            # refine band half-width (full-res px)
     hier_refine_radius: int = 2   # box aggregation radius for refine costs
+    # refine-cost bias per px of deviation from the coarse winner (census
+    # units): the band WTA has no smoothness prior of its own, so without
+    # a pull toward the (SGM-regularized) coarse solve, texture aliasing
+    # yanks the winner +-1 px (A/B in experiments/hier_ab.py)
+    hier_k_penalty: float = 1.0
     # Texture floor under SGM (round-4 gate accounting,
     # experiments/stereo_gates.py on the radius-15 stress scene): with LR
     # consistency + uniqueness + clean_depth active, the old scaled
@@ -551,11 +556,18 @@ def _disparity_hier(left: jnp.ndarray, right: jnp.ndarray,
     """Coarse-to-fine SGM (cfg.hierarchical; see StereoConfig): half-res
     SGM solve, nearest upsample, band-limited full-res census refine.
 
-    The refine is gather-light: 2*hier_band+1 per-pixel row gathers on the
-    (H, W) right CENSUS image (the ~6 ms/gather trap is (D, H, W) volume
-    gathers; (H, W) row gathers are what the LR check already uses), each
-    followed by a popcount and a separable box mean.  The coarse winner's
-    running WTA tracks the subpixel neighbors exactly like the box path."""
+    The refine is GATHER-FREE: a streaming pass over the full disparity
+    range with STATIC shifts (the box path's structure), where each pixel
+    only SCORES candidates inside its band |d - d0| <= hier_band.  A
+    first draft used 2*hier_band+1 per-pixel row gathers instead — XLA
+    lowers per-pixel gathers on TPU to O(W)-per-output masked selects, and
+    `cost_analysis` showed the pipeline at 22.5 GB accessed vs the full
+    SGM's 6.2 (experiments/hier_ab.py); the static-shift scan removes
+    every gather.  Per step: one u32 census shift + popcount + a 3-tap
+    separable box + band-masked running-WTA updates (cm/cp tracked like
+    the box path for the subpixel parabola); out-of-band planes cost one
+    select.  hier_k_penalty biases toward the (SGM-regularized) coarse
+    winner, standing in for the smoothness prior the band WTA lacks."""
     h, w = left.shape
     half = _disparity_sgm(_downsample2(left), _downsample2(right),
                           cfg._replace(
@@ -571,29 +583,46 @@ def _disparity_hier(left: jnp.ndarray, right: jnp.ndarray,
     cr = _census(right, cfg.census_radius)
     x = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     big = jnp.float32(_SGM_BIG)
+    r = cfg.hier_refine_radius
+    norm = jnp.float32(1.0 / (2 * r + 1) ** 2)
+
+    def boxed_census(d):
+        """(2r+1)^2 mean of the Hamming cost at static disparity d."""
+        c = jax.lax.population_count(
+            cl ^ _shift_right(cr, d)).astype(jnp.float32)
+        for ax in (0, 1):
+            pad = [(0, 0), (0, 0)]
+            pad[ax] = (r, r)
+            cpad = jnp.pad(c, pad, mode="edge")
+            acc = c
+            for s in range(1, r + 1):
+                acc = acc + jax.lax.slice_in_dim(
+                    cpad, r - s, r - s + c.shape[ax], axis=ax)
+                acc = acc + jax.lax.slice_in_dim(
+                    cpad, r + s, r + s + c.shape[ax], axis=ax)
+            c = acc
+        return c * norm
 
     best = jnp.full((h, w), big)
-    best_k = jnp.zeros((h, w), jnp.int32)
+    best_d = jnp.zeros((h, w), jnp.int32)
     prev_c = jnp.full((h, w), big)
     cm = jnp.full((h, w), big)
     cp = jnp.full((h, w), big)
-    for k in range(-cfg.hier_band, cfg.hier_band + 1):
-        d = d0 + k
-        xs = x - d
-        c = jax.lax.population_count(
-            cl ^ jnp.take_along_axis(cr, jnp.clip(xs, 0, w - 1), axis=1)
-        ).astype(jnp.float32)
-        c = _box_filter(c, cfg.hier_refine_radius)
-        ok = (xs >= 0) & (d >= cfg.min_disparity) & (d < cfg.max_disparity)
-        c = jnp.where(ok, c, big)
+    for d in range(cfg.min_disparity, cfg.max_disparity):
+        k = d - d0                        # signed band offset, per pixel
+        active = (jnp.abs(k) <= cfg.hier_band) & (x >= d) & coarse_valid
+        c = jnp.where(active,
+                      boxed_census(d)
+                      + cfg.hier_k_penalty * jnp.abs(k).astype(jnp.float32),
+                      big)
         take = c < best
-        cp = jnp.where(take, big, jnp.where(best_k == k - 1, c, cp))
+        cp = jnp.where(take, big, jnp.where(best_d == d - 1, c, cp))
         cm = jnp.where(take, prev_c, cm)
         best = jnp.where(take, c, best)
-        best_k = jnp.where(take, k, best_k)
+        best_d = jnp.where(take, d, best_d)
         prev_c = c
 
-    disp = (d0 + best_k).astype(jnp.float32)
+    disp = best_d.astype(jnp.float32)
     if cfg.subpixel:
         denom = cm + cp - 2.0 * best
         interior = (cm < big) & (cp < big) & (denom > 1e-9)
@@ -601,7 +630,8 @@ def _disparity_hier(left: jnp.ndarray, right: jnp.ndarray,
                           0.5 * (cm - cp) / jnp.maximum(denom, 1e-9), 0.0)
         disp = disp + jnp.clip(delta, -0.5, 0.5)
 
-    valid = coarse_valid & (best <= cfg.census_ceiling) \
+    valid = coarse_valid & (best <= cfg.census_ceiling
+                            + cfg.hier_k_penalty * cfg.hier_band) \
         & (disp >= cfg.min_disparity) & (disp < cfg.max_disparity)
     return jnp.where(valid, disp, 0.0)
 

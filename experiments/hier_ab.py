@@ -47,6 +47,15 @@ def main(n_frames=4, radius=15.0):
         "hier band=3 r=3": stereo.StereoConfig(aggregation="sgm",
                                                hierarchical=True,
                                                hier_refine_radius=3),
+        "hier kpen=0": stereo.StereoConfig(aggregation="sgm",
+                                           hierarchical=True,
+                                           hier_k_penalty=0.0),
+        "hier kpen=2": stereo.StereoConfig(aggregation="sgm",
+                                           hierarchical=True,
+                                           hier_k_penalty=2.0),
+        "hier kpen=4": stereo.StereoConfig(aggregation="sgm",
+                                           hierarchical=True,
+                                           hier_k_penalty=4.0),
     }
     fns = {k: stereo.jitted_disparity(v) for k, v in variants.items()}
 

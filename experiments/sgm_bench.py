@@ -91,6 +91,15 @@ def main(iters: int = 15):
     timeit("sgm8 census full (fused, post_median=False)",
            stereo.jitted_disparity(scfg_np))
 
+    # round-4 hierarchical opt-in mode (half-res solve + band refine;
+    # fidelity cost recorded in BASELINE — timed here for the record)
+    scfg_h = stereo.StereoConfig(max_disparity=128, min_disparity=1,
+                                 radius=4, aggregation="sgm",
+                                 cost="census", sgm_paths=8,
+                                 hierarchical=True)
+    timeit("sgm8 census full (hierarchical)",
+           stereo.jitted_disparity(scfg_h))
+
     same = np.array_equal(outs["pallas"], outs["lax.scan"])
     same_fused = np.array_equal(outs["pallas-fused"], outs["pallas"])
     same_wta = np.array_equal(outs["wta-reductions"], outs["pallas-fused"])

@@ -153,3 +153,22 @@ def test_cli_stress_stereo_smoke(tmp_path):
     assert rc == 0
     ckpt = np.load(out + ".ckpt.npz")
     assert int(ckpt["bank_count"]) > 10
+
+
+def test_stereo_config_flag_threading():
+    """Every stereo knob reaches StereoConfig from any subcommand's args
+    (ADVICE r3 pattern: no flag may silently apply only on one
+    subcommand), and the measured round-4 defaults hold: post_median ON,
+    occlusion_fill OFF, hierarchical OFF."""
+    from argparse import Namespace
+    from densesurfelmapping_tpu.cli import _stereo_config
+
+    c = _stereo_config(Namespace(sgm=True, no_post_median=True,
+                                 occlusion_fill=True, hier=True,
+                                 max_disparity=64))
+    assert c.aggregation == "sgm" and not c.post_median
+    assert c.occlusion_fill and c.hierarchical and c.max_disparity == 64
+
+    d = _stereo_config(Namespace())
+    assert d.aggregation == "box" and d.post_median
+    assert not d.occlusion_fill and not d.hierarchical
