@@ -75,6 +75,21 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _roll_c(v, shift, axis):
+    """pltpu.roll that also accepts bf16 operands on REAL hardware.
+
+    Mosaic implements `tpu.dynamic_rotate` only for 32-bit element types —
+    a bf16 carry roll compiles fine in interpret mode (where all the CPU
+    tests run) but fails on the actual TPU with "Rotate with non-32-bit
+    data" (found by the round-4 sgm_bench run; the sgm_carry_bf16 mode had
+    only ever been validated off-device).  bf16 -> f32 -> roll -> bf16 is
+    exact, so semantics are unchanged."""
+    if v.dtype == jnp.bfloat16:
+        return pltpu.roll(v.astype(jnp.float32), shift,
+                          axis=axis).astype(jnp.bfloat16)
+    return pltpu.roll(v, shift, axis=axis)
+
+
 def _dp_update(L_prev, cost, p1, p2, clamp=None):
     """One DP step on (R, D) blocks (f32, or bf16 with `clamp` — the
     sgm_carry_bf16 mode, where clamping at the BIG constant keeps every
@@ -83,8 +98,8 @@ def _dp_update(L_prev, cost, p1, p2, clamp=None):
     dt = L_prev.dtype
     lmin = jnp.min(L_prev, axis=-1, keepdims=True)
     d = L_prev.shape[-1]
-    dm = pltpu.roll(L_prev, 1, axis=1)      # from d-1 (lane 0 <- BIG pad)
-    dp = pltpu.roll(L_prev, d - 1, axis=1)  # from d+1 (last lane <- pad)
+    dm = _roll_c(L_prev, 1, axis=1)      # from d-1 (lane 0 <- BIG pad)
+    dp = _roll_c(L_prev, d - 1, axis=1)  # from d+1 (last lane <- pad)
     cand = jnp.minimum(jnp.minimum(L_prev,
                                    jnp.minimum(dm, dp) + dt.type(p1)),
                        lmin + dt.type(p2))
@@ -131,7 +146,7 @@ def _axis_call(L: int, R: int, D: int, n_real: int, rolls: tuple,
                     # real border is row 0 (roll > 0) or row n_real-1
                     # (roll < 0; also zero the pad rows above it, whose
                     # carries are garbage)
-                    c = pltpu.roll(c, roll % R, axis=0)
+                    c = _roll_c(c, roll % R, axis=0)
                     rowid = jax.lax.broadcasted_iota(
                         jnp.int32, c.shape, 0)
                     at_border = (rowid == 0) if roll > 0 \
@@ -320,7 +335,7 @@ def _census_call_y(Lh: int, Rw: int, n_rows: int, n_cols: int, n_d: int,
             for k, roll in enumerate(rolls):
                 c = carry_ref[k]
                 if roll:
-                    c = pltpu.roll(c, roll % Rw, axis=0)
+                    c = _roll_c(c, roll % Rw, axis=0)
                     rowid = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0)
                     at_border = (rowid == 0) if roll > 0 \
                         else (rowid >= n_cols - 1)
@@ -378,8 +393,8 @@ def _dp_update_t(L_prev, cost, p1, p2, clamp=None):
     as `_dp_update`, axes and roll amounts swapped."""
     dt = L_prev.dtype
     lmin = jnp.min(L_prev, axis=0, keepdims=True)
-    dm = pltpu.roll(L_prev, _LANES - 1, axis=0)   # out[i] = in[i+1] (d-1)
-    dp = pltpu.roll(L_prev, 1, axis=0)            # out[i] = in[i-1] (d+1)
+    dm = _roll_c(L_prev, _LANES - 1, axis=0)   # out[i] = in[i+1] (d-1)
+    dp = _roll_c(L_prev, 1, axis=0)            # out[i] = in[i-1] (d+1)
     cand = jnp.minimum(jnp.minimum(L_prev,
                                    jnp.minimum(dm, dp) + dt.type(p1)),
                        lmin + dt.type(p2))
