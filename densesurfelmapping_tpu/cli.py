@@ -67,7 +67,8 @@ def _stereo_config(args):
         aggregation="sgm" if getattr(args, "sgm", False) else "box",
         post_median=not getattr(args, "no_post_median", False),
         occlusion_fill=getattr(args, "occlusion_fill", False),
-        hierarchical=getattr(args, "hier", False))
+        hierarchical=getattr(args, "hier", False),
+        prior_rescue=getattr(args, "prior_rescue", False))
 
 
 def _finish(mapping, cfg, args, last_frame=None):
@@ -638,6 +639,13 @@ def main(argv=None):
                             "solve + band-limited full-res census refine "
                             "(~4x less aggregation work; A/B in "
                             "BASELINE.md round 4)")
+        p.add_argument("--prior-rescue", action="store_true",
+                       help="map-guided stereo: render the live surfel "
+                            "bank into the camera inside the fuse program "
+                            "and accept LR/uniqueness-rejected matches "
+                            "that agree with the map (ops/render.py; "
+                            "cross-frame evidence for occlusion bands and "
+                            "periodic texture)")
 
     p = sub.add_parser("synthetic", help="procedural scene demo/benchmark")
     common(p)
@@ -713,14 +721,7 @@ def main(argv=None):
                         "compute depth on-device inside the fuse program")
     p.add_argument("--sgm", action="store_true",
                    help="SGM aggregation for --stereo")
-    p.add_argument("--no-post-median", action="store_true",
-                   help="disable the median/speckle disparity post-filter "
-                        "(A/B the round-3 fidelity gain)")
-    p.add_argument("--occlusion-fill", action="store_true",
-                   help="enable the scanline occlusion fill "
-                        "(A/B the round-4 map-level row)")
-    p.add_argument("--hier", action="store_true",
-                   help="hierarchical (coarse-to-fine) SGM for --stereo")
+    stereo_post_opts(p)
     p.add_argument("--frames", type=int, default=2000)
     p.add_argument("--radius", type=float, default=60.0,
                    help="circuit radius in meters (60 ~ a KITTI block)")

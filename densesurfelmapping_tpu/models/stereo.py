@@ -175,6 +175,24 @@ class StereoConfig(NamedTuple):
     # a pull toward the (SGM-regularized) coarse solve, texture aliasing
     # yanks the winner +-1 px (A/B in experiments/hier_ab.py)
     hier_k_penalty: float = 1.0
+    # Map-prior rescue (round 4, `ops/render.py`): the stereo-resident
+    # fuse program renders the live surfel bank into the current camera
+    # (superpixel-pitch z-buffer) and a WTA winner that the LR or
+    # uniqueness gate rejected — but that agrees with the map within
+    # prior_tol px — is accepted.  Cross-frame evidence targeting exactly
+    # the two honest gate losses: occlusion bands (the right image cannot
+    # confirm a correct background match; the map, built from frames that
+    # DID see that surface, can) and periodic texture (uniqueness cannot
+    # disambiguate self-similar matches; the map can).  The matcher still
+    # has to find the disparity itself — the prior never injects map
+    # depth, so the map cannot confirm itself; cost_ok + texture-floor
+    # gates still apply to rescued pixels, and the median post-filter
+    # still speckle-checks them.  prior_disp arrives via
+    # `disparity(..., prior_disp=)`; without it the gate is inert.
+    prior_rescue: bool = False
+    prior_tol: float = 1.5        # max |d_wta - d_map| in px
+    prior_stride: int = 8         # render cell pitch (px); SP_SIZE default
+    prior_min_updates: int = 5    # bank stability floor for the render
     # Texture floor under SGM (round-4 gate accounting,
     # experiments/stereo_gates.py on the radius-15 stress scene): with LR
     # consistency + uniqueness + clean_depth active, the old scaled
@@ -515,7 +533,8 @@ def _sgm_aggregate(vol: jnp.ndarray, p1: float, p2: float, n_paths: int,
 
 def _disparity_sgm(left: jnp.ndarray, right: jnp.ndarray,
                    cfg: StereoConfig,
-                   diagnostics: bool = False) -> jnp.ndarray:
+                   diagnostics: bool = False,
+                   prior_disp: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Semi-global-matching disparity: 4/8-path aggregation then WTA with
     the same sub-pixel / LR-consistency / texture gates as the box path.
 
@@ -540,7 +559,8 @@ def _disparity_sgm(left: jnp.ndarray, right: jnp.ndarray,
                              cfg.sgm_pallas,
                              carry_bf16=(cfg.sgm_carry_bf16
                                          and cfg.cost == "census"))
-    return _wta_and_gates(left, agg, cfg, diagnostics)
+    return _wta_and_gates(left, agg, cfg, diagnostics,
+                          prior_disp=prior_disp)
 
 
 def _downsample2(img: jnp.ndarray) -> jnp.ndarray:
@@ -755,7 +775,8 @@ def _wta_scan(agg: jnp.ndarray, cfg: StereoConfig):
 
 
 def _wta_and_gates(left: jnp.ndarray, agg: jnp.ndarray, cfg: StereoConfig,
-                   diagnostics: bool = False):
+                   diagnostics: bool = False,
+                   prior_disp: Optional[jnp.ndarray] = None):
     """WTA + sub-pixel + validity gates on an aggregated (D', H, W) SGM
     volume (factored out so sharded aggregation backends —
     parallel/sgm_sharding.py — reuse the exact same tail).  The WTA
@@ -807,15 +828,27 @@ def _wta_and_gates(left: jnp.ndarray, agg: jnp.ndarray, cfg: StereoConfig,
         unique = jnp.ones_like(cost_ok)
 
     valid = consistent & textured & cost_ok & unique
+    rescued = jnp.zeros_like(valid)
+    if cfg.prior_rescue and prior_disp is not None:
+        # map-prior rescue (see StereoConfig.prior_rescue): the winner the
+        # LR/uniqueness gates rejected is accepted when the map agrees.
+        # cost_ok and the texture floor still apply — a high-cost or
+        # degenerate-constant match is unreliable even with a prior.
+        agree = (prior_disp > 0) & (jnp.abs(disp - prior_disp)
+                                    <= cfg.prior_tol)
+        rescued = agree & cost_ok & textured & ~valid
+        valid = valid | rescued
     out = jnp.where(valid, disp, 0.0)
     if diagnostics:
         return out, dict(disp=disp, consistent=consistent,
-                         textured=textured, cost_ok=cost_ok, unique=unique)
+                         textured=textured, cost_ok=cost_ok, unique=unique,
+                         rescued=rescued)
     return out
 
 
 def disparity(left: jnp.ndarray, right: jnp.ndarray,
-              config: StereoConfig = StereoConfig()) -> jnp.ndarray:
+              config: StereoConfig = StereoConfig(),
+              prior_disp: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """(H, W) f32 left disparity map; 0 = invalid.
 
     Jit-friendly: the disparity loop is static (unrolled by trace), every
@@ -823,11 +856,17 @@ def disparity(left: jnp.ndarray, right: jnp.ndarray,
     config.aggregation == "sgm", a 4-path semi-global scanline DP
     aggregates the cost volume first (denser matches on weak texture at
     ~D x H x W memory and a few extra ms).
+
+    prior_disp (optional (H, W) f32, 0 = none): map-rendered disparity
+    prior for the rescue gate (cfg.prior_rescue; `ops/render.py`).  The
+    hierarchical mode ignores it (its validity comes from the half-res
+    solve where the full-res prior does not line up).
     """
     cfg = config
     if cfg.aggregation == "sgm":
-        out = (_disparity_hier if cfg.hierarchical
-               else _disparity_sgm)(left, right, cfg)
+        out = (_disparity_hier(left, right, cfg) if cfg.hierarchical
+               else _disparity_sgm(left, right, cfg,
+                                   prior_disp=prior_disp))
         if cfg.occlusion_fill and cfg.occlusion_max_gap > 0:
             out = _scanline_fill(out, cfg.occlusion_max_gap,
                                  cfg.occlusion_lerp_tol)
@@ -895,6 +934,13 @@ def disparity(left: jnp.ndarray, right: jnp.ndarray,
     textured = _box_filter(grad, cfg.radius) >= cfg.texture_threshold
 
     valid = consistent & textured & (best <= cfg.cost_ceiling) & (best < big)
+    if cfg.prior_rescue and prior_disp is not None:
+        # same rescue gate as the SGM tail (StereoConfig.prior_rescue);
+        # the box path keeps its full texture gate on rescued pixels too
+        agree = (prior_disp > 0) & (jnp.abs(disp - prior_disp)
+                                    <= cfg.prior_tol)
+        valid = valid | (agree & textured
+                         & (best <= cfg.cost_ceiling) & (best < big))
     out = jnp.where(valid, disp, 0.0)
     if cfg.occlusion_fill and cfg.occlusion_max_gap > 0:
         out = _scanline_fill(out, cfg.occlusion_max_gap,

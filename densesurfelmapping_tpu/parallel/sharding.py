@@ -198,9 +198,17 @@ def sharded_fuse_frame_stereo_windowed_packed(config: SurfelMapConfig,
     oh, ow = config.height, config.width
 
     def per_stream(bank, buf, pose, ref, bf, mask):
+        from ..pipeline.fuse_step import _stereo_prior
         left, right = unpack_stereo(config, buf)
+        # each shard renders its bank slab; lax.pmin over the surfel axis
+        # merges the z-buffers exactly, so the prior (and thus the depth
+        # map) is identical on every shard — the sharded == dense
+        # invariant holds with prior_rescue on (tests/test_sharding.py)
         depth = compute_depth_stereo(config, stereo_config, left, right,
-                                     bf, filter_depth)
+                                     bf, filter_depth,
+                                     prior_depth=_stereo_prior(
+                                         config, stereo_config, bank,
+                                         pose, axis_name="surfel"))
         img = jnp.pad(left, ((0, ph - oh), (0, pw - ow)))
         dep = jnp.pad(depth, ((0, ph - oh), (0, pw - ow)))
         frame = FrameInput(image=img, depth=dep, pose=pose,

@@ -166,16 +166,27 @@ def unpack_stereo(config: SurfelMapConfig, buf: jnp.ndarray):
 
 def compute_depth_stereo(config: SurfelMapConfig, stereo_config,
                          left_f32: jnp.ndarray, right_f32: jnp.ndarray,
-                         bf: jnp.ndarray, filter_depth: bool = True
+                         bf: jnp.ndarray, filter_depth: bool = True,
+                         prior_depth: jnp.ndarray | None = None
                          ) -> jnp.ndarray:
     """On-device stereo front-end: disparity -> metric depth (the
     `depth = bf / disparity` contract of kitti_publisher's publisher.py:40)
     -> optional flyer/median post-filter.  bf = fx * baseline is a traced
-    scalar so one program serves every sequence."""
+    scalar so one program serves every sequence.
+
+    prior_depth (optional (H, W) f32 map render, `ops/render.py`): the
+    temporal prior for the matcher's rescue gate
+    (stereo_config.prior_rescue) — converted to disparity with the same
+    bf contract."""
     from ..models import stereo as stereo_model
     from ..ops import depthfilter
 
-    disp = stereo_model.disparity(left_f32, right_f32, stereo_config)
+    prior_disp = None
+    if prior_depth is not None:
+        prior_disp = jnp.where(prior_depth > 0,
+                               bf / jnp.maximum(prior_depth, 1e-6), 0.0)
+    disp = stereo_model.disparity(left_f32, right_f32, stereo_config,
+                                  prior_disp=prior_disp)
     depth = jnp.where(disp > 0, bf / jnp.maximum(disp, 1e-6), 0.0)
     depth = jnp.where(depth <= config.fuse_far, depth, 0.0)
     if filter_depth:
@@ -192,6 +203,23 @@ def compute_depth_stereo(config: SurfelMapConfig, stereo_config,
                 d2, stereo_config.speckle_tol, stereo_config.fill_support)
             depth = jnp.where(d2 > 0, bf / jnp.maximum(d2, 1e-6), 0.0)
     return depth
+
+
+def _stereo_prior(config: SurfelMapConfig, stereo_config, bank: SurfelBank,
+                  pose: jnp.ndarray, axis_name: str | None = None):
+    """Map-rendered depth prior for the matcher's rescue gate, or None.
+
+    Rendered from the PRE-UPDATE bank (the map as of the previous frame)
+    inside the same device program — the bank is already in HBM, so the
+    prior costs one projection pass + one coarse scatter and no transfers
+    (`ops/render.py`).  Trace-time gated on stereo_config.prior_rescue."""
+    if not getattr(stereo_config, "prior_rescue", False):
+        return None
+    from ..ops.render import render_prior_depth
+    return render_prior_depth(config, bank, pose,
+                              stride=stereo_config.prior_stride,
+                              min_updates=stereo_config.prior_min_updates,
+                              axis_name=axis_name)
 
 
 def fuse_frame_stereo_packed(config: SurfelMapConfig, stereo_config,
@@ -211,7 +239,9 @@ def fuse_frame_stereo_packed(config: SurfelMapConfig, stereo_config,
     oh, ow = config.height, config.width
     left, right = unpack_stereo(config, buf)
     depth = compute_depth_stereo(config, stereo_config, left, right, bf,
-                                 filter_depth)
+                                 filter_depth,
+                                 prior_depth=_stereo_prior(
+                                     config, stereo_config, bank, pose))
     img = jnp.pad(left, ((0, ph - oh), (0, pw - ow)))
     dep = jnp.pad(depth, ((0, ph - oh), (0, pw - ow)))
     return fuse_frame(config, bank, FrameInput(
@@ -240,7 +270,9 @@ def fuse_frame_stereo_windowed_packed(config: SurfelMapConfig,
     oh, ow = config.height, config.width
     left, right = unpack_stereo(config, buf)
     depth = compute_depth_stereo(config, stereo_config, left, right, bf,
-                                 filter_depth)
+                                 filter_depth,
+                                 prior_depth=_stereo_prior(
+                                     config, stereo_config, bank, pose))
     img = jnp.pad(left, ((0, ph - oh), (0, pw - ow)))
     dep = jnp.pad(depth, ((0, ph - oh), (0, pw - ow)))
     return fuse_frame(config, bank, FrameInput(

@@ -1,0 +1,200 @@
+"""Map-guided stereo: the hot-path prior render (`ops/render.py`) and the
+matcher's prior-rescue gate (`models/stereo.StereoConfig.prior_rescue`).
+
+The reference has no feedback from the map into depth estimation (its
+disparity arrives precomputed, `kitti_publisher/scripts/publisher.py:36-41`);
+this is a capability of the stereo-resident mode, so the tests are
+self-referential: golden render geometry, gate semantics, end-to-end driver
+runs, and the sharded == dense invariant with the prior active."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from densesurfelmapping_tpu.config import SurfelMapConfig, CameraIntrinsics
+from densesurfelmapping_tpu.core.state import SurfelBank
+from densesurfelmapping_tpu.io import synthetic
+from densesurfelmapping_tpu.models import stereo
+from densesurfelmapping_tpu.ops.render import render_prior_depth
+
+CAM = CameraIntrinsics(width=120, height=56, fx=80.0, fy=80.0,
+                       cx=59.5, cy=27.5)
+BASELINE = 0.5
+CFG = SurfelMapConfig(camera=CAM, surfel_capacity=1024)
+
+
+def _bank_with(points, update_times):
+    """Bank whose first rows hold the given camera==world-frame points."""
+    bank = SurfelBank.empty(CFG.surfel_capacity)
+    n = len(points)
+    pos = bank.position.at[:n].set(jnp.asarray(points, jnp.float32))
+    ut = bank.update_times.at[:n].set(jnp.asarray(update_times, jnp.int32))
+    return bank.replace(position=pos, update_times=ut,
+                        count=jnp.asarray(n, jnp.int32))
+
+
+def _point_at_pixel(u, v, z):
+    return ((u - CAM.cx) * z / CAM.fx, (v - CAM.cy) * z / CAM.fy, z)
+
+
+def test_render_golden_cell_and_zbuffer():
+    """Projection lands in the right stride-8 cell; nearest surfel wins;
+    empty cells are 0; the upsample paints the whole cell."""
+    pts = [
+        _point_at_pixel(32, 16, 5.0),   # cell (v 16..23, u 32..39)
+        _point_at_pixel(35, 20, 3.0),   # same cell, nearer -> wins
+        _point_at_pixel(80, 40, 9.0),   # its own cell
+    ]
+    bank = _bank_with(pts, [7, 7, 7])
+    depth = np.asarray(render_prior_depth(CFG, bank, jnp.eye(4), stride=8,
+                                          min_updates=5))
+    assert depth.shape == (CAM.height, CAM.width)
+    assert np.allclose(depth[16:24, 32:40], 3.0)
+    assert np.allclose(depth[40:48, 80:88], 9.0)
+    assert depth[0, 0] == 0.0
+
+
+def test_render_gates():
+    """min_updates, live mask, depth range, and image bounds all exclude."""
+    pts = [
+        _point_at_pixel(32, 16, 5.0),    # young: update_times below floor
+        _point_at_pixel(80, 40, 9.0),    # dead row (update_times 0)
+        _point_at_pixel(48, 24, CFG.fuse_far + 5.0),  # beyond fuse_far
+        (-100.0, 0.0, 4.0),              # projects out of the image
+    ]
+    bank = _bank_with(pts, [4, 0, 9, 9])
+    depth = np.asarray(render_prior_depth(CFG, bank, jnp.eye(4), stride=8,
+                                          min_updates=5))
+    assert not depth.any()
+    # rows beyond count never contribute even with update_times set
+    bank2 = _bank_with([_point_at_pixel(32, 16, 5.0)], [9])
+    bank2 = bank2.replace(count=jnp.asarray(0, jnp.int32))
+    assert not np.asarray(render_prior_depth(CFG, bank2, jnp.eye(4))).any()
+
+
+def test_render_respects_pose():
+    """The render is in the CURRENT camera: translating the camera moves
+    the projection."""
+    z = 6.0
+    pts = [_point_at_pixel(59, 27, z)]           # near the optical axis
+    bank = _bank_with(pts, [9])
+    pose = np.eye(4, dtype=np.float32)
+    pose[0, 3] = -1.0                            # camera 1 m left
+    depth = np.asarray(render_prior_depth(CFG, bank, jnp.asarray(pose),
+                                          stride=8, min_updates=5))
+    # world point x maps to u = fx*(x+1)/z + cx ~ 59 + 80/6 ~ 72
+    assert depth[24:32, 72:80].max() == pytest.approx(z, abs=1e-5)
+    assert not depth[24:32, 56:64].any()
+
+
+def _periodic_pair(period=8, d0=4, h=48, w=128, amp=100.0):
+    """Self-similar vertical stripes: every match at d0 + k*period ties,
+    so the uniqueness gate rejects everything — the prior's home turf."""
+    x = np.arange(w, dtype=np.float32)
+    row = 128.0 + amp * np.sin(2 * np.pi * x / period)
+    left = np.tile(row, (h, 1)).astype(np.float32)
+    xr = x - d0                                 # right view shifts left
+    rrow = 128.0 + amp * np.sin(2 * np.pi * xr / period)
+    right = np.tile(rrow, (h, 1)).astype(np.float32)
+    return left, right
+
+
+@pytest.mark.parametrize("agg", ["sgm", "box"])
+def test_prior_rescues_periodic_texture(agg):
+    left, right = _periodic_pair()
+    scfg = stereo.StereoConfig(max_disparity=32, min_disparity=1, radius=3,
+                               aggregation=agg, post_median=False,
+                               prior_rescue=True)
+    base = np.asarray(stereo.disparity(jnp.asarray(left),
+                                       jnp.asarray(right), scfg))
+    interior = np.zeros_like(base, bool)
+    interior[8:-8, 40:-8] = True
+    # without a prior the uniqueness (sgm) / LR-tie (box) gates reject the
+    # self-similar interior
+    assert base[interior].astype(bool).mean() < 0.2
+    prior = np.full(left.shape, 4.0, np.float32)
+    resc = np.asarray(stereo.disparity(jnp.asarray(left),
+                                       jnp.asarray(right), scfg,
+                                       prior_disp=jnp.asarray(prior)))
+    sel = interior & (resc > 0)
+    assert sel.mean() > 0.5, f"rescue did not engage ({sel.mean():.3f})"
+    assert np.abs(resc[sel] - 4.0).max() <= 0.51  # subpixel clamp
+    # a WRONG prior (disagrees with every WTA winner) rescues nothing
+    bad = np.asarray(stereo.disparity(
+        jnp.asarray(left), jnp.asarray(right), scfg,
+        prior_disp=jnp.asarray(np.full(left.shape, 18.5, np.float32))))
+    assert (bad[interior] > 0).mean() < 0.2
+
+
+def test_prior_rescue_inert_without_prior():
+    """prior_rescue=True with no prior map is bitwise the stock matcher."""
+    left, right = _periodic_pair()
+    on = stereo.StereoConfig(max_disparity=32, radius=3, aggregation="sgm",
+                             prior_rescue=True)
+    off = on._replace(prior_rescue=False)
+    a = np.asarray(stereo.disparity(jnp.asarray(left), jnp.asarray(right),
+                                    on))
+    b = np.asarray(stereo.disparity(jnp.asarray(left), jnp.asarray(right),
+                                    off))
+    np.testing.assert_array_equal(a, b)
+
+
+def _stereo_drive(driver_cls, scfg, frames=6):
+    cfg = SurfelMapConfig(camera=CAM, surfel_capacity=8192, lane_align=8,
+                          drift_free_poses=3)
+    scene = synthetic.Scene(ground_y=1.5, wall_z=18.0,
+                            boxes=synthetic.default_scene().boxes,
+                            max_depth=25.0, texture="multisine")
+    m = driver_cls(cfg)
+    m.enable_stereo(bf=CAM.fx * BASELINE, stereo_config=scfg)
+    for i in range(frames):
+        pose = np.eye(4)
+        pose[0, 3] = 0.2 * i
+        rp = pose.copy()
+        rp[:3, 3] += rp[:3, 0] * BASELINE
+        li, _ = scene.render(cfg, pose)
+        ri, _ = scene.render(cfg, rp)
+        m.feed_pose(float(i), pose, is_keyframe=True)
+        m.feed_stereo(float(i), li, ri)
+    return m
+
+
+def test_stereo_fuse_prior_e2e():
+    """The full stereo-resident driver runs with the prior active: frame 0
+    has no prior (empty bank), later frames render + rescue in-program."""
+    from densesurfelmapping_tpu.pipeline.device_driver import \
+        DeviceResidentMapping
+    scfg = stereo.StereoConfig(max_disparity=64, min_disparity=1, radius=3,
+                               prior_rescue=True, prior_min_updates=2)
+    m = _stereo_drive(DeviceResidentMapping, scfg)
+    assert m.frames_fused == 6
+    surf = {k: np.asarray(v) for k, v in m.map_surfels().items()}
+    assert len(surf["position"]) > 100
+    assert np.isfinite(surf["position"]).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_stereo_prior_matches_dense():
+    """Sharded == dense with the prior on: each shard z-buffers its slab
+    and pmin merges them, so every shard sees the identical prior."""
+    from densesurfelmapping_tpu.parallel import sharding
+    from densesurfelmapping_tpu.pipeline.device_driver import (
+        DeviceResidentMapping, ShardedDeviceResidentMapping)
+
+    scfg = stereo.StereoConfig(max_disparity=64, min_disparity=1, radius=3,
+                               prior_rescue=True, prior_min_updates=2)
+    mesh = sharding.make_mesh(len(jax.devices()), data=1)
+    dense = _stereo_drive(DeviceResidentMapping, scfg)
+    shard = _stereo_drive(
+        lambda cfg: ShardedDeviceResidentMapping(cfg, mesh), scfg)
+
+    def rows(m):
+        d = {k: np.asarray(v) for k, v in m.map_surfels().items()}
+        pos = d["position"]
+        order = np.lexsort((pos[:, 2], pos[:, 1], pos[:, 0]))
+        return {k: v[order] for k, v in d.items()}
+
+    a, b = rows(dense), rows(shard)
+    assert len(a["position"]) == len(b["position"])
+    np.testing.assert_allclose(a["position"], b["position"], atol=1e-4)
