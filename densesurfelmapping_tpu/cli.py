@@ -62,6 +62,14 @@ def _stereo_config(args):
     post_median default silently applied everywhere else)."""
     from .models.stereo import StereoConfig
 
+    if getattr(args, "hier", False) and getattr(args, "prior_rescue", False):
+        # the hierarchical matcher ignores prior_disp (its validity comes
+        # from the half-res solve); the fuse step skips the prior render
+        # in that mode, so the flag would be silently inert (ADVICE r4)
+        import sys
+        print("warning: --prior-rescue has no effect with --hier "
+              "(the hierarchical matcher ignores the map prior)",
+              file=sys.stderr)
     return StereoConfig(
         max_disparity=getattr(args, "max_disparity", 128),
         aggregation="sgm" if getattr(args, "sgm", False) else "box",

@@ -86,10 +86,12 @@ class StereoConfig(NamedTuple):
     # materialized path; fused only when min_disparity >= 1 and
     # D' = max - min < 128 (the kernels' single-lane-block layout)
     sgm_fused_census: bool = True
-    # SGM uniqueness gate: the winner must beat every non-adjacent
-    # candidate by a margin (best < ratio * second), rejecting periodic-
-    # texture self-matches the LR check cannot catch (the classic SGBM
-    # uniquenessRatio).  0 disables.
+    # Uniqueness gate (SGM and box paths): the winner must beat every
+    # non-adjacent candidate by a margin (best < ratio * second),
+    # rejecting periodic-texture self-matches the LR check cannot catch
+    # (the classic SGBM/BM uniquenessRatio; the box path gained it in
+    # round 5 — float-noise tie-breaking had been picking an ALIASED
+    # winner consistently in both views, so even LR passed).  0 disables.
     uniqueness_ratio: float = 0.95
     # post-filter (the cv::filterSpeckles + medianBlur stage every
     # production SGBM runs; the reference's PSMNet maps arrive already
@@ -175,24 +177,36 @@ class StereoConfig(NamedTuple):
     # a pull toward the (SGM-regularized) coarse solve, texture aliasing
     # yanks the winner +-1 px (A/B in experiments/hier_ab.py)
     hier_k_penalty: float = 1.0
-    # Map-prior rescue (round 4, `ops/render.py`): the stereo-resident
-    # fuse program renders the live surfel bank into the current camera
-    # (superpixel-pitch z-buffer) and a WTA winner that the LR or
-    # uniqueness gate rejected — but that agrees with the map within
-    # prior_tol px — is accepted.  Cross-frame evidence targeting exactly
-    # the two honest gate losses: occlusion bands (the right image cannot
-    # confirm a correct background match; the map, built from frames that
-    # DID see that surface, can) and periodic texture (uniqueness cannot
-    # disambiguate self-similar matches; the map can).  The matcher still
-    # has to find the disparity itself — the prior never injects map
-    # depth, so the map cannot confirm itself; cost_ok + texture-floor
-    # gates still apply to rescued pixels, and the median post-filter
-    # still speckle-checks them.  prior_disp arrives via
-    # `disparity(..., prior_disp=)`; without it the gate is inert.
+    # Map-prior rescue (round 4, reworked TIE-AWARE round 5;
+    # `ops/render.py`): the stereo-resident fuse program renders the live
+    # surfel bank into the current camera (superpixel-pitch z-buffer),
+    # the WTA additionally latches the aggregated cost at the prior's
+    # plane, and a pixel the LR or uniqueness gate rejected is accepted
+    # AT the prior's candidate when the data rates that candidate as good
+    # as the matcher's own winner (cost@prior <= best + prior_tie_margin
+    # per path) and its refined disparity agrees with the map within
+    # prior_tol px.  Cross-frame evidence targeting exactly the two
+    # honest gate losses: occlusion bands (the right image cannot confirm
+    # a correct background match; the map, built from frames that DID see
+    # that surface, can) and periodic texture (self-similar matches tie
+    # EXACTLY — the out-of-range wedge carries zero cost precisely so
+    # they stay ties — and the map picks among the ties; the winner-only
+    # rescue of round 4 failed here because the arbitrary tie-break
+    # rarely lands on the prior).  The matcher still has to rate the
+    # prior's candidate as a best match: cost ceiling + tie margin +
+    # texture floor apply to rescued pixels and the median post-filter
+    # still speckle-checks them, so the map cannot confirm itself against
+    # the data.  prior_disp arrives via `disparity(..., prior_disp=)`;
+    # without it the gate is trace-time inert.
     prior_rescue: bool = False
-    prior_tol: float = 1.5        # max |d_wta - d_map| in px
+    prior_tol: float = 1.5        # max |d_refined - d_map| in px
     prior_stride: int = 8         # render cell pitch (px); SP_SIZE default
     prior_min_updates: int = 5    # bank stability floor for the render
+    # tie margin for the rescue, in matching-cost units per path (census:
+    # bits; SGM scales by n_paths, the box path uses it absolutely): the
+    # prior's candidate must be within this of the winner's aggregated
+    # cost to count as "the data cannot tell them apart"
+    prior_tie_margin: float = 1.0
     # Texture floor under SGM (round-4 gate accounting,
     # experiments/stereo_gates.py on the radius-15 stress scene): with LR
     # consistency + uniqueness + clean_depth active, the old scaled
@@ -323,10 +337,43 @@ def _scanline_fill(disp: jnp.ndarray, max_gap: int,
     return jnp.where(~valid & bounded, fill, disp)
 
 
-_SGM_BIG = 1e4   # finite out-of-range cost (SGM adds bounded penalties)
+_SGM_BIG = 1e4   # axis-pad cost / "winner exists" ceiling sentinel
 # the value a bf16 round-trip of _SGM_BIG yields (= what the kernels read
 # back from the bf16 volume); also the carry clamp of sgm_carry_bf16 mode
 _SGM_BIG_BF16 = 9984.0
+
+# Out-of-range (x - d < 0) wedge semantics (settled round 5, after
+# MEASURING both naive options fail):
+#
+# * BIG wedge alone (rounds 2-4): a plane entering range at x = d joins
+#   the DP through the `Lmin + P2` path — a +P2-per-path handicap the
+#   capped recurrence never sheds absent contrary evidence.  On periodic
+#   texture the handicap IS the tie-break: aliases entering later stay
+#   +P2 above earlier ones forever, a fake margin that defeats the
+#   uniqueness gate (measured: stripes with TRUE disparity 20 returned
+#   the smallest alias for 100% of the interior, confidently).
+# * ZERO wedge (tried and REVERTED this round): an L=0 reservoir at the
+#   wedge boundary that every in-range plane can reach through P1 steps
+#   along the d axis — "wedge-escape" paths costing P1 per plane-step
+#   plus a few columns of real cost.  Measured on the 120-px test scene
+#   (x < 64 band): LR-consistency failures 52%, LEFT winner error median
+#   9.8 px, right winners biased to large d (80% above truth) — the band
+#   collapses to junk undercutting, not honest rejection.
+#
+# Shipped semantics: BIG wedge (out-of-range planes invisible — BIG
+# cannot leak through +P1) PLUS a FREE ENTRY RESTART in every
+# wedge-crossing scan direction (dx = +1: forward-x and the two
+# +x-moving diagonals): at the column where a plane first enters range
+# (x == d), its path value restarts at the column floor (cand := Lmin,
+# i.e. L = C) instead of Lmin + P2.  Established planes keep their
+# round-4 values (band quality, weak-texture fill); periodic aliases
+# enter at the floor their earlier twins occupy, so self-similar
+# candidates tie EXACTLY, the uniqueness gate rejects them, and the map
+# prior (StereoConfig.prior_rescue) is the designed disambiguator.
+# Directions with dx <= 0 never cross the wedge into range and are
+# untouched.  In-range masking at the WTA (`_wta_scan`/`_wta_reductions`
+# mask x < d + min_d planes to +inf) keeps wedge values out of
+# argmin/subpixel/uniqueness regardless.
 
 
 def _census(img: jnp.ndarray, r: int) -> jnp.ndarray:
@@ -454,7 +501,8 @@ def _roll_carry(c: jnp.ndarray, roll: int) -> jnp.ndarray:
 
 
 def _axis_scan(v: jnp.ndarray, rolls, p1: float, p2: float,
-               carry_bf16: bool = False) -> jnp.ndarray:
+               carry_bf16: bool = False,
+               entry: Optional[str] = None, min_d: int = 0) -> jnp.ndarray:
     """Sum of all 2*len(rolls) SGM path responses along one scan axis.
 
     v: (L, R, D) cost volume oriented so the axis being scanned is axis 0;
@@ -463,6 +511,19 @@ def _axis_scan(v: jnp.ndarray, rolls, p1: float, p2: float,
     orientation advance as a single batched DP update — SGM on TPU is
     bound by sequential-step count times per-op overhead, not FLOPs, so
     fewer/fatter steps win.
+
+    entry / min_d implement the FREE ENTRY RESTART of the out-of-range
+    wedge semantics (see the _SGM_BIG note): at the column where a plane
+    first enters range (x == d), the wedge-crossing directions restart
+    the path value at the column floor (L = C instead of C + P2).
+    entry="x": the scan axis IS image x (horizontal family) — the restart
+    applies to the FORWARD orientation only (the backward path never
+    crosses the wedge into range), at step x on plane lane k with
+    k + min_d == x.  entry="y": the scan axis is image y and the row axis
+    R is image x (vertical + diagonal family) — the restart applies to
+    the roll == +1 channels (the +x-moving diagonals) in BOTH
+    orientations, at the static positions r == k + min_d.  entry=None:
+    legacy behavior (no restart; correct when the volume has no wedge).
 
     The two orientations are two scans: the backward one uses
     lax.scan(reverse=True) on the UNREVERSED volume.  Deliberately no
@@ -475,17 +536,35 @@ def _axis_scan(v: jnp.ndarray, rolls, p1: float, p2: float,
     the CPU backend and the per-direction oracle (judge-visible pin:
     tests/test_stereo.py::test_sgm_axis_scan_matches_oracle)."""
     g = len(rolls)
+    L, R, D = v.shape
 
     cdt = jnp.bfloat16 if carry_bf16 else jnp.float32
     clamp = _SGM_BIG_BF16 if carry_bf16 else None
 
+    ent_y = None
+    if entry == "y" and any(r == 1 for r in rolls):
+        r_io = jax.lax.broadcasted_iota(jnp.int32, (R, D), 0)
+        k_io = jax.lax.broadcasted_iota(jnp.int32, (R, D), 1)
+        ent_rd = r_io == k_io + min_d
+        ent_y = jnp.stack([ent_rd if rolls[k] == 1
+                           else jnp.zeros_like(ent_rd)
+                           for k in range(g)])            # (G, R, D)
+
     def one_dir(reverse):
-        def step(carry, cost):
+        entry_x = entry == "x" and not reverse
+
+        def step(carry, inp):
+            cost, xi = inp if entry == "x" else (inp, None)
             # carry: (G, R, D) f32 (bf16 + clamp in sgm_carry_bf16 mode)
             rolled = jnp.stack(
                 [_roll_carry(carry[k], rolls[k]) for k in range(g)])
-            nxt = _sgm_dp(rolled, cost[None].astype(cdt), p1, p2,
-                          clamp=clamp)
+            cost_c = cost[None].astype(cdt)
+            nxt = _sgm_dp(rolled, cost_c, p1, p2, clamp=clamp)
+            if entry_x:
+                k_io = jax.lax.broadcasted_iota(jnp.int32, (R, D), 1)
+                nxt = jnp.where((k_io + min_d == xi)[None], cost_c, nxt)
+            elif ent_y is not None:
+                nxt = jnp.where(ent_y, cost_c, nxt)
             # sequential adds in carry dtype: matches the pallas kernel's
             # accumulation order bit-for-bit (jnp.sum may reduce in f32)
             tot = nxt[0]
@@ -493,8 +572,9 @@ def _axis_scan(v: jnp.ndarray, rolls, p1: float, p2: float,
                 tot = tot + nxt[k]
             return nxt, tot.astype(jnp.bfloat16)
 
+        xs = (v, jnp.arange(L, dtype=jnp.int32)) if entry == "x" else v
         zeros = jnp.zeros((g,) + v.shape[1:], cdt)
-        _, ys = jax.lax.scan(step, zeros, v, reverse=reverse)
+        _, ys = jax.lax.scan(step, zeros, xs, reverse=reverse)
         return ys.astype(jnp.float32)
 
     return one_dir(False) + one_dir(True)
@@ -502,7 +582,7 @@ def _axis_scan(v: jnp.ndarray, rolls, p1: float, p2: float,
 
 def _sgm_aggregate(vol: jnp.ndarray, p1: float, p2: float, n_paths: int,
                    use_pallas: bool = True,
-                   carry_bf16: bool = False) -> jnp.ndarray:
+                   carry_bf16: bool = False, min_d: int = 0) -> jnp.ndarray:
     """4- or 8-path semi-global aggregation of a (D, H, W) cost volume;
     returns the f32 summed volume.
 
@@ -512,7 +592,10 @@ def _sgm_aggregate(vol: jnp.ndarray, p1: float, p2: float, n_paths: int,
     Directions sharing an axis+orientation are batched into one scan —
     4 scans total instead of one per direction (8); with use_pallas both
     orientations of an axis collapse into ONE VMEM-resident kernel pass
-    (ops/pallas/sgm.py, bitwise-equal)."""
+    (ops/pallas/sgm.py, bitwise-equal).
+
+    min_d: plane k of `vol` holds disparity k + min_d — needed for the
+    wedge entry restart (see the _SGM_BIG note)."""
     assert n_paths in (4, 8), n_paths
     if use_pallas:
         from ..ops.pallas.sgm import axis_scan_pallas as scan
@@ -520,21 +603,24 @@ def _sgm_aggregate(vol: jnp.ndarray, p1: float, p2: float, n_paths: int,
         scan = _axis_scan
 
     vh = jnp.transpose(vol, (2, 1, 0))          # (W, H, D): scan over x
-    agg = jnp.transpose(scan(vh, (0,), p1, p2, carry_bf16=carry_bf16),
+    agg = jnp.transpose(scan(vh, (0,), p1, p2, carry_bf16=carry_bf16,
+                             entry="x", min_d=min_d),
                         (2, 1, 0))
 
     vv = jnp.transpose(vol, (1, 2, 0))          # (H, W, D): scan over y
     # (1,1)/(-1,1): previous pixel one column left -> roll +1;
     # (1,-1)/(-1,-1): one column right -> roll -1
     v_rolls = (0,) if n_paths == 4 else (0, 1, -1)
-    v_sum = scan(vv, v_rolls, p1, p2, carry_bf16=carry_bf16)
+    v_sum = scan(vv, v_rolls, p1, p2, carry_bf16=carry_bf16,
+                 entry="y", min_d=min_d)
     return agg + jnp.transpose(v_sum, (2, 0, 1))
 
 
 def _disparity_sgm(left: jnp.ndarray, right: jnp.ndarray,
                    cfg: StereoConfig,
                    diagnostics: bool = False,
-                   prior_disp: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                   prior_disp: Optional[jnp.ndarray] = None,
+                   with_rescued: bool = False):
     """Semi-global-matching disparity: 4/8-path aggregation then WTA with
     the same sub-pixel / LR-consistency / texture gates as the box path.
 
@@ -558,9 +644,10 @@ def _disparity_sgm(left: jnp.ndarray, right: jnp.ndarray,
         agg = _sgm_aggregate(vol, cfg.sgm_p1, cfg.sgm_p2, cfg.sgm_paths,
                              cfg.sgm_pallas,
                              carry_bf16=(cfg.sgm_carry_bf16
-                                         and cfg.cost == "census"))
+                                         and cfg.cost == "census"),
+                             min_d=cfg.min_disparity)
     return _wta_and_gates(left, agg, cfg, diagnostics,
-                          prior_disp=prior_disp)
+                          prior_disp=prior_disp, with_rescued=with_rescued)
 
 
 def _downsample2(img: jnp.ndarray) -> jnp.ndarray:
@@ -644,43 +731,76 @@ def _disparity_hier(left: jnp.ndarray, right: jnp.ndarray,
 
     disp = best_d.astype(jnp.float32)
     if cfg.subpixel:
-        denom = cm + cp - 2.0 * best
+        # remove the known per-plane pull-penalty before the parabola fit:
+        # at a winner with k = 0 both neighbors carry +hier_k_penalty,
+        # inflating the denominator and shrinking |delta| — the same
+        # pixel-locking bias the round-4 subpixel study pinned for
+        # n_paths*P1 (experiments/subpixel_ab.py; ADVICE r4)
+        kb = (best_d - d0).astype(jnp.float32)
+        pen = jnp.float32(cfg.hier_k_penalty)
+        b_c = best - pen * jnp.abs(kb)
+        cm_c = cm - pen * jnp.abs(kb - 1.0)
+        cp_c = cp - pen * jnp.abs(kb + 1.0)
+        denom = cm_c + cp_c - 2.0 * b_c
         interior = (cm < big) & (cp < big) & (denom > 1e-9)
         delta = jnp.where(interior,
-                          0.5 * (cm - cp) / jnp.maximum(denom, 1e-9), 0.0)
+                          0.5 * (cm_c - cp_c) / jnp.maximum(denom, 1e-9),
+                          0.0)
         disp = disp + jnp.clip(delta, -0.5, 0.5)
 
+    # range gate on the INTEGER winner (like the full-res tail): gating on
+    # the subpixel-adjusted disp zeroed winners at d == min_disparity whose
+    # delta came out negative — a systematic floor loss (ADVICE r4)
     valid = coarse_valid & (best <= cfg.census_ceiling
                             + cfg.hier_k_penalty * cfg.hier_band) \
-        & (disp >= cfg.min_disparity) & (disp < cfg.max_disparity)
+        & (best_d >= cfg.min_disparity) & (best_d < cfg.max_disparity)
     return jnp.where(valid, disp, 0.0)
 
 
-def _wta_reductions(agg: jnp.ndarray, cfg: StereoConfig):
+def _wta_reductions(agg: jnp.ndarray, cfg: StereoConfig,
+                    prior_plane: Optional[jnp.ndarray] = None):
     """Full-reduction WTA over the aggregated (D', H, W) volume: returns
-    (idx, best, cm, cp, second, bestR_d); cm/cp None without subpixel,
-    second None without the uniqueness gate.
+    (idx, best, cm, cp, second, bestR_d, prior3); cm/cp None without
+    subpixel, second None without the uniqueness gate, prior3 None
+    without a prior (else the (cost@p-1, cost@p, cost@p+1) triple at the
+    map prior's plane p — the tie-aware rescue, StereoConfig.prior_rescue).
+
+    The out-of-range wedge carries _SGM_BIG in the volume (see _SGM_BIG
+    note); the LEFT WTA still masks planes with x < d + min_disparity to
+    +inf here so wedge values can never win or feed subpixel/uniqueness;
+    the right WTA's shear only ever reads in-range entries.
 
     No take_along_axis anywhere: volume gathers measured ~6 ms EACH on
     v5e vs ~0.6 ms for a masked reduce.  best is a plain min; the
     argmin's neighbors come from one-hot (iota == idx) selects:
     agg[idx-1] = min over d of agg[d] masked to d+1 == idx, etc."""
     D, h, w = agg.shape
-    idx = jnp.argmin(agg, axis=0)                       # (H, W)
-    best = jnp.min(agg, axis=0)
+    d_ids = jax.lax.broadcasted_iota(jnp.int32, agg.shape, 0)
+    xc = jax.lax.broadcasted_iota(jnp.int32, agg.shape, 2)
+    aggm = jnp.where(xc >= d_ids + cfg.min_disparity, agg, np.inf)
+    idx = jnp.argmin(aggm, axis=0)                      # (H, W)
+    best = jnp.min(aggm, axis=0)
 
     cm = cp = None
     if cfg.subpixel:
-        oh = jax.lax.broadcasted_iota(jnp.int32, agg.shape, 0) == idx[None]
-        cm = jnp.min(jnp.where(oh[1:], agg[:-1], np.inf), axis=0)
-        cp = jnp.min(jnp.where(oh[:-1], agg[1:], np.inf), axis=0)
+        oh = d_ids == idx[None]
+        cm = jnp.min(jnp.where(oh[1:], aggm[:-1], np.inf), axis=0)
+        cp = jnp.min(jnp.where(oh[:-1], aggm[1:], np.inf), axis=0)
 
     second = None
     if cfg.uniqueness_ratio > 0:
         # min over candidates more than 1 disparity away from the winner
-        d_ids = jax.lax.broadcasted_iota(jnp.int32, agg.shape, 0)
         far = jnp.abs(d_ids - idx[None]) > 1
-        second = jnp.min(jnp.where(far, agg, np.inf), axis=0)
+        second = jnp.min(jnp.where(far, aggm, np.inf), axis=0)
+
+    prior3 = None
+    if prior_plane is not None:
+        op = d_ids == prior_plane[None]
+        prior3 = (
+            jnp.min(jnp.where(op[1:], aggm[:-1], np.inf), axis=0),
+            jnp.min(jnp.where(op, aggm, np.inf), axis=0),
+            jnp.min(jnp.where(op[:-1], aggm[1:], np.inf), axis=0),
+        )
 
     # right-image WTA via the volume identity costR(y,x,d) = costL(y,x+d,d).
     # The shear B[k,y,x] = agg[k,y,x+k+min_d] is realized with pads and ONE
@@ -695,10 +815,11 @@ def _wta_reductions(agg: jnp.ndarray, cfg: StereoConfig):
     volR = sheared.reshape(h, D, w2 + 1)[:, :, cfg.min_disparity:
                                          cfg.min_disparity + w]
     bestR_d = jnp.argmin(volR, axis=1).astype(jnp.int32) + cfg.min_disparity
-    return idx, best, cm, cp, second, bestR_d
+    return idx, best, cm, cp, second, bestR_d, prior3
 
 
-def _wta_scan(agg: jnp.ndarray, cfg: StereoConfig):
+def _wta_scan(agg: jnp.ndarray, cfg: StereoConfig,
+              prior_plane: Optional[jnp.ndarray] = None):
     """Streaming WTA: same outputs as `_wta_reductions` BITWISE, from ONE
     chunked lax.scan over the disparity planes (cfg.wta_streaming).
 
@@ -719,7 +840,14 @@ def _wta_scan(agg: jnp.ndarray, cfg: StereoConfig):
       reduction path's sheared volume.
 
     Pad planes (chunk rounding) are +inf: never win either WTA, and give
-    cp = inf for idx == D-1 exactly as the reduction path does."""
+    cp = inf for idx == D-1 exactly as the reduction path does.  The
+    out-of-range wedge (x < d + min_disparity) carries _SGM_BIG in the
+    volume (see the _SGM_BIG note); the LEFT WTA masks it to +inf per
+    plane here, the right WTA only reads in-range entries.
+
+    prior_plane (optional (H, W) i32): the map prior's plane index; the
+    scan additionally latches the masked costs at planes p-1/p/p+1 for
+    the tie-aware rescue (three selects per plane)."""
     D, h, w = agg.shape
     ch = max(int(cfg.wta_chunk), 1)
     n_blk = -(-D // ch)
@@ -728,6 +856,7 @@ def _wta_scan(agg: jnp.ndarray, cfg: StereoConfig):
     aggp = jnp.pad(agg, ((0, dp - D), (0, 0), (0, wp - w)),
                    constant_values=np.inf)
     xs = aggp.reshape(n_blk, ch, h, wp)
+    xc = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
 
     inf = jnp.full((h, w), np.inf, jnp.float32)
     carry = dict(
@@ -736,13 +865,16 @@ def _wta_scan(agg: jnp.ndarray, cfg: StereoConfig):
         bestR=jnp.full((h, w), np.inf, jnp.bfloat16),
         bestRd=jnp.full((h, w), cfg.min_disparity, jnp.int32),
     )
+    if prior_plane is not None:
+        carry.update(prm=inf, pr0=inf, prp=inf)
 
     def step(c, inp):
         blk, bi = inp
         for j in range(ch):
             d = bi * ch + j
             plane = blk[j]
-            cl = plane[:, :w]
+            cl = jnp.where(xc >= d + cfg.min_disparity,
+                           plane[:, :w], np.inf)
             take = cl < c["best"]
             c["sl"] = jnp.where(take, c["min2"], c["sl"])
             c["cm"] = jnp.where(take, c["prev"], c["cm"])
@@ -757,6 +889,10 @@ def _wta_scan(agg: jnp.ndarray, cfg: StereoConfig):
             c["prev"] = cl
             c["idx"] = jnp.where(take, d, c["idx"])
             c["best"] = jnp.where(take, cl, c["best"])
+            if prior_plane is not None:
+                c["prm"] = jnp.where(d == prior_plane - 1, cl, c["prm"])
+                c["pr0"] = jnp.where(d == prior_plane, cl, c["pr0"])
+                c["prp"] = jnp.where(d == prior_plane + 1, cl, c["prp"])
             cr = jax.lax.dynamic_slice(
                 plane, (0, d + cfg.min_disparity),
                 (h, w)).astype(jnp.bfloat16)
@@ -771,12 +907,15 @@ def _wta_scan(agg: jnp.ndarray, cfg: StereoConfig):
     cp = c["cp"] if cfg.subpixel else None
     second = (jnp.minimum(c["sl"], c["post"])
               if cfg.uniqueness_ratio > 0 else None)
-    return c["idx"], c["best"], cm, cp, second, c["bestRd"]
+    prior3 = ((c["prm"], c["pr0"], c["prp"])
+              if prior_plane is not None else None)
+    return c["idx"], c["best"], cm, cp, second, c["bestRd"], prior3
 
 
 def _wta_and_gates(left: jnp.ndarray, agg: jnp.ndarray, cfg: StereoConfig,
                    diagnostics: bool = False,
-                   prior_disp: Optional[jnp.ndarray] = None):
+                   prior_disp: Optional[jnp.ndarray] = None,
+                   with_rescued: bool = False):
     """WTA + sub-pixel + validity gates on an aggregated (D', H, W) SGM
     volume (factored out so sharded aggregation backends —
     parallel/sgm_sharding.py — reuse the exact same tail).  The WTA
@@ -786,8 +925,15 @@ def _wta_and_gates(left: jnp.ndarray, agg: jnp.ndarray, cfg: StereoConfig,
     n_paths = float(cfg.sgm_paths)
     D = agg.shape[0]
 
+    prior_plane = None
+    if cfg.prior_rescue and prior_disp is not None:
+        prior_plane = jnp.clip(
+            jnp.round(prior_disp).astype(jnp.int32) - cfg.min_disparity,
+            0, D - 1)
+
     wta = _wta_scan if cfg.wta_streaming else _wta_reductions
-    idx, best, cm, cp, second, bestR_d = wta(agg, cfg)
+    idx, best, cm, cp, second, bestR_d, prior3 = wta(
+        agg, cfg, prior_plane=prior_plane)
     disp = (idx + cfg.min_disparity).astype(jnp.float32)
 
     if cfg.subpixel:
@@ -829,26 +975,53 @@ def _wta_and_gates(left: jnp.ndarray, agg: jnp.ndarray, cfg: StereoConfig,
 
     valid = consistent & textured & cost_ok & unique
     rescued = jnp.zeros_like(valid)
-    if cfg.prior_rescue and prior_disp is not None:
-        # map-prior rescue (see StereoConfig.prior_rescue): the winner the
-        # LR/uniqueness gates rejected is accepted when the map agrees.
-        # cost_ok and the texture floor still apply — a high-cost or
-        # degenerate-constant match is unreliable even with a prior.
-        agree = (prior_disp > 0) & (jnp.abs(disp - prior_disp)
+    if prior_plane is not None:
+        # Tie-aware map-prior rescue (see StereoConfig.prior_rescue): the
+        # candidate at the MAP's disparity is accepted when the data rates
+        # it as good as the matcher's own winner (within prior_tie_margin
+        # per path) but the LR/uniqueness gates rejected the pixel — i.e.
+        # the match evidence is ambiguous and the map picks among the
+        # (near-)ties.  Comparing at the prior's plane rather than only
+        # the WTA winner matters: on periodic texture the aliases tie
+        # EXACTLY and the winner is an arbitrary tie-break, so a correct
+        # prior must still engage when the tie-break landed elsewhere.
+        # The matcher still has to rate the prior's candidate as a best
+        # match — a high-cost (cost ceiling) or degenerate-constant
+        # (texture floor) pixel is never rescued, so the map cannot
+        # confirm itself against the data.
+        prm, pr0, prp = prior3
+        d_pr = (prior_plane + cfg.min_disparity).astype(jnp.float32)
+        if cfg.subpixel:
+            denom_p = prm + prp - 2.0 * pr0
+            interior_p = jnp.isfinite(prm) & jnp.isfinite(prp) \
+                & (denom_p > 1e-9)
+            delta_p = jnp.where(
+                interior_p,
+                0.5 * (prm - prp) / jnp.maximum(denom_p, 1e-9), 0.0)
+            d_pr = d_pr + jnp.clip(delta_p, -0.5, 0.5)
+        tie = pr0 <= best + cfg.prior_tie_margin * n_paths
+        cost_ok_p = (pr0 <= ceiling) & (pr0 < _SGM_BIG)
+        agree = (prior_disp > 0) & (jnp.abs(d_pr - prior_disp)
                                     <= cfg.prior_tol)
-        rescued = agree & cost_ok & textured & ~valid
+        rescued = agree & tie & cost_ok_p & textured & ~valid
         valid = valid | rescued
+        disp = jnp.where(rescued, d_pr, disp)
     out = jnp.where(valid, disp, 0.0)
     if diagnostics:
         return out, dict(disp=disp, consistent=consistent,
                          textured=textured, cost_ok=cost_ok, unique=unique,
                          rescued=rescued)
+    if with_rescued:
+        # off-loop feedback-loop diagnostic (ADVICE r4, ops/render.py):
+        # how many pixels the map vouched for this frame
+        return out, jnp.sum(rescued.astype(jnp.int32))
     return out
 
 
 def disparity(left: jnp.ndarray, right: jnp.ndarray,
               config: StereoConfig = StereoConfig(),
-              prior_disp: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+              prior_disp: Optional[jnp.ndarray] = None,
+              with_rescued: bool = False):
     """(H, W) f32 left disparity map; 0 = invalid.
 
     Jit-friendly: the disparity loop is static (unrolled by trace), every
@@ -861,12 +1034,20 @@ def disparity(left: jnp.ndarray, right: jnp.ndarray,
     prior for the rescue gate (cfg.prior_rescue; `ops/render.py`).  The
     hierarchical mode ignores it (its validity comes from the half-res
     solve where the full-res prior does not line up).
+
+    with_rescued: also return the i32 count of prior-rescued pixels
+    (pre-postfilter) — the off-loop feedback-loop diagnostic (ADVICE r4).
     """
     cfg = config
+    n_rescued = jnp.zeros((), jnp.int32)
     if cfg.aggregation == "sgm":
-        out = (_disparity_hier(left, right, cfg) if cfg.hierarchical
-               else _disparity_sgm(left, right, cfg,
-                                   prior_disp=prior_disp))
+        if cfg.hierarchical:
+            out = _disparity_hier(left, right, cfg)
+        else:
+            out = _disparity_sgm(left, right, cfg, prior_disp=prior_disp,
+                                 with_rescued=with_rescued)
+            if with_rescued:
+                out, n_rescued = out
         if cfg.occlusion_fill and cfg.occlusion_max_gap > 0:
             out = _scanline_fill(out, cfg.occlusion_max_gap,
                                  cfg.occlusion_lerp_tol)
@@ -874,15 +1055,25 @@ def disparity(left: jnp.ndarray, right: jnp.ndarray,
             for _ in range(cfg.post_median_passes):
                 out = _median_postfilter(out, cfg.speckle_tol,
                                          cfg.fill_support)
-        return out
+        return (out, n_rescued) if with_rescued else out
     h, w = left.shape
     big = jnp.float32(1e10)
+
+    prior_plane_d = None
+    if cfg.prior_rescue and prior_disp is not None:
+        prior_plane_d = jnp.clip(
+            jnp.round(prior_disp).astype(jnp.int32),
+            cfg.min_disparity, cfg.max_disparity - 1)
+        prm = pr0 = prp = jnp.full((h, w), big)
 
     best = jnp.full((h, w), big)
     best_d = jnp.zeros((h, w), jnp.int32)
     prev_of_best = jnp.full((h, w), big)     # cost at best_d - 1
     next_of_best = jnp.full((h, w), big)     # cost at best_d + 1
     prev_c = jnp.full((h, w), big)
+    min2 = jnp.full((h, w), big)             # min over planes <= d - 2
+    sl = jnp.full((h, w), big)               # min over d' <= best_d - 2
+    post = jnp.full((h, w), big)             # min over d' > best_d + 1
     bestR = jnp.full((h, w), big)
     bestR_d = jnp.zeros((h, w), jnp.int32)
     xcoord = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
@@ -894,6 +1085,15 @@ def disparity(left: jnp.ndarray, right: jnp.ndarray,
         c = jnp.where(xcoord >= d, c, big)
 
         take = c < best
+        # prefix/suffix mins around the final winner for the uniqueness
+        # gate (the _wta_scan trick): sl latches the min over planes more
+        # than 1 below the winner at take time, post accumulates planes
+        # more than 1 above it and resets on every take
+        sl = jnp.where(take, min2, sl)
+        post = jnp.where(take, big,
+                         jnp.where(d > best_d + 1,
+                                   jnp.minimum(post, c), post))
+        min2 = jnp.minimum(min2, prev_c)     # now min over <= d - 1 - 1
         # neighbor costs for the sub-pixel parabola: the winner's left
         # neighbor is prev_c at take time; its right neighbor is the cost
         # of the step just after the winning one
@@ -903,6 +1103,10 @@ def disparity(left: jnp.ndarray, right: jnp.ndarray,
         best = jnp.where(take, c, best)
         best_d = jnp.where(take, d, best_d)
         prev_c = c
+        if prior_plane_d is not None:
+            prm = jnp.where(d == prior_plane_d - 1, c, prm)
+            pr0 = jnp.where(d == prior_plane_d, c, pr0)
+            prp = jnp.where(d == prior_plane_d + 1, c, prp)
 
         # right-image volume: costR(y, x, d) = costL(y, x + d, d)
         cR = _shift_left(c, d, 1e10)
@@ -934,13 +1138,32 @@ def disparity(left: jnp.ndarray, right: jnp.ndarray,
     textured = _box_filter(grad, cfg.radius) >= cfg.texture_threshold
 
     valid = consistent & textured & (best <= cfg.cost_ceiling) & (best < big)
-    if cfg.prior_rescue and prior_disp is not None:
-        # same rescue gate as the SGM tail (StereoConfig.prior_rescue);
-        # the box path keeps its full texture gate on rescued pixels too
-        agree = (prior_disp > 0) & (jnp.abs(disp - prior_disp)
+    if cfg.uniqueness_ratio > 0:
+        # uniqueness (see StereoConfig.uniqueness_ratio): near-tied
+        # non-adjacent candidates (periodic texture resolved by float
+        # noise) must not pass
+        second = jnp.minimum(sl, post)
+        valid = valid & (best < cfg.uniqueness_ratio * second)
+    if prior_plane_d is not None:
+        # tie-aware rescue, same semantics as the SGM tail
+        # (StereoConfig.prior_rescue); prior_tie_margin applies
+        # absolutely (single box-window costs, no path sum)
+        d_pr = prior_plane_d.astype(jnp.float32)
+        if cfg.subpixel:
+            denom_p = prm + prp - 2.0 * pr0
+            interior_p = (prm < big) & (prp < big) & (denom_p > 1e-9)
+            delta_p = jnp.where(
+                interior_p,
+                0.5 * (prm - prp) / jnp.maximum(denom_p, 1e-9), 0.0)
+            d_pr = d_pr + jnp.clip(delta_p, -0.5, 0.5)
+        tie = pr0 <= best + cfg.prior_tie_margin
+        agree = (prior_disp > 0) & (jnp.abs(d_pr - prior_disp)
                                     <= cfg.prior_tol)
-        valid = valid | (agree & textured
-                         & (best <= cfg.cost_ceiling) & (best < big))
+        rescued = (agree & tie & textured & ~valid
+                   & (pr0 <= cfg.cost_ceiling) & (pr0 < big))
+        valid = valid | rescued
+        disp = jnp.where(rescued, d_pr, disp)
+        n_rescued = jnp.sum(rescued.astype(jnp.int32))
     out = jnp.where(valid, disp, 0.0)
     if cfg.occlusion_fill and cfg.occlusion_max_gap > 0:
         out = _scanline_fill(out, cfg.occlusion_max_gap,
@@ -948,7 +1171,7 @@ def disparity(left: jnp.ndarray, right: jnp.ndarray,
     if cfg.post_median:
         for _ in range(cfg.post_median_passes):
             out = _median_postfilter(out, cfg.speckle_tol, cfg.fill_support)
-    return out
+    return (out, n_rescued) if with_rescued else out
 
 
 @functools.lru_cache(maxsize=8)

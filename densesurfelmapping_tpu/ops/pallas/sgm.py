@@ -115,12 +115,19 @@ def _dp_update(L_prev, cost, p1, p2, clamp=None):
 @functools.lru_cache(maxsize=16)
 def _axis_call(L: int, R: int, D: int, n_real: int, rolls: tuple,
                p1: float, p2: float, t_blk: int, interpret: bool,
-               carry_bf16: bool = False):
+               carry_bf16: bool = False, entry=None, min_d: int = 0):
     """pallas_call for one (L, R, D) axis scan; D == lane-padded width,
     L a multiple of t_blk.  Each grid step moves ONE (t_blk, R, D) block
     per orientation and advances the DP over its columns in VMEM —
     per-step DMA latency amortizes over t_blk columns (the one-column
-    variant measured DMA-latency-bound at 1617 tiny blocks/frame)."""
+    variant measured DMA-latency-bound at 1617 tiny blocks/frame).
+
+    entry / min_d: the wedge free-entry restart, mirroring
+    `models/stereo._axis_scan` bitwise (see the _SGM_BIG note there).
+    entry="x": restart lanes with k + min_d == x on the FORWARD
+    orientation; entry="y": restart the roll == +1 channels at the static
+    positions r == k + min_d in BOTH orientations.  Restarts on pad
+    lanes/rows merely rewrite the BIG pad cost — harmless."""
     g = len(rolls)
     n_blk = L // t_blk
     cdt = jnp.bfloat16 if carry_bf16 else jnp.float32
@@ -134,7 +141,10 @@ def _axis_call(L: int, R: int, D: int, n_real: int, rolls: tuple,
             cf_ref[...] = jnp.zeros_like(cf_ref)
             cb_ref[...] = jnp.zeros_like(cb_ref)
 
-        def advance(carry_ref, cost_ref, out_ref, col):
+        rowid2 = jax.lax.broadcasted_iota(jnp.int32, (R, D), 0)
+        laneid = jax.lax.broadcasted_iota(jnp.int32, (R, D), 1)
+
+        def advance(carry_ref, cost_ref, out_ref, col, x_fwd):
             cost = cost_ref[col].astype(cdt)             # (R, D)
             total = None
             for k, roll in enumerate(rolls):
@@ -153,13 +163,19 @@ def _axis_call(L: int, R: int, D: int, n_real: int, rolls: tuple,
                         else (rowid >= n_real - 1)
                     c = jnp.where(at_border, 0.0, c)
                 nxt = _dp_update(c, cost, p1, p2, clamp=clamp)
+                if entry == "x" and x_fwd is not None:
+                    nxt = jnp.where(laneid + min_d == x_fwd, cost, nxt)
+                elif entry == "y" and roll == 1:
+                    nxt = jnp.where(rowid2 == laneid + min_d, cost, nxt)
                 carry_ref[k] = nxt
                 total = nxt if total is None else total + nxt
             out_ref[col] = total.astype(jnp.bfloat16)
 
         for col in range(t_blk):
-            advance(cf_ref, vf_ref, of_ref, col)             # ascending
-            advance(cb_ref, vb_ref, ob_ref, t_blk - 1 - col)  # descending
+            advance(cf_ref, vf_ref, of_ref, col,
+                    b * t_blk + col)                         # ascending
+            advance(cb_ref, vb_ref, ob_ref, t_blk - 1 - col,
+                    None)                                    # descending
 
     blk = (t_blk, R, D)
     return pl.pallas_call(
@@ -193,7 +209,8 @@ def _axis_call(L: int, R: int, D: int, n_real: int, rolls: tuple,
 
 def axis_scan_pallas(v: jnp.ndarray, rolls, p1: float, p2: float,
                      t_blk: int = 16,
-                     carry_bf16: bool = False) -> jnp.ndarray:
+                     carry_bf16: bool = False,
+                     entry=None, min_d: int = 0) -> jnp.ndarray:
     """Drop-in replacement for `models/stereo._axis_scan`: sum of the
     2*len(rolls) SGM path responses along axis 0 of a (L, R, D) volume.
 
@@ -216,7 +233,8 @@ def axis_scan_pallas(v: jnp.ndarray, rolls, p1: float, p2: float,
 
     call = _axis_call(l_pad, r_pad, d_pad, rows, tuple(rolls), float(p1),
                       float(p2), int(t_blk), _interpret(),
-                      carry_bf16=bool(carry_bf16))
+                      carry_bf16=bool(carry_bf16), entry=entry,
+                      min_d=int(min_d))
     out_f, out_b = call(vp, vp)
     out = out_f.astype(jnp.float32) + out_b.astype(jnp.float32)
     return out[:length, :rows, :dd]
@@ -247,8 +265,10 @@ def axis_scan_pallas(v: jnp.ndarray, rolls, p1: float, p2: float,
 #   XLA copy that transposes the output back — no extra pass.
 #
 # Masking reproduces the materialized path bit-for-bit: in-volume
-# out-of-range costs use bf16(_SGM_BIG) and axis padding uses bf16(_BIG),
-# exactly the values the old kernel read back from the bf16 volume
+# out-of-range costs use bf16(_SGM_BIG) with the free-entry restart at
+# x == d on the wedge-crossing directions (models/stereo._SGM_BIG note)
+# and axis padding uses bf16(_BIG), exactly the values the materialized
+# bf16 volume carries
 # (pinned by tests/test_stereo.py::test_census_fused_matches_materialized).
 # ---------------------------------------------------------------------------
 
@@ -341,6 +361,10 @@ def _census_call_y(Lh: int, Rw: int, n_rows: int, n_cols: int, n_d: int,
                         else (rowid >= n_cols - 1)
                     c = jnp.where(at_border, 0.0, c)
                 nxt = _dp_update(c, cost, p1, p2, clamp=clamp)
+                if roll == 1:
+                    # wedge free-entry restart on the +x-moving diagonals
+                    # (both orientations): x == d (stereo._SGM_BIG note)
+                    nxt = jnp.where(xrow == lane + min_d, cost, nxt)
                 carry_ref[k] = nxt
                 total = nxt if total is None else total + nxt
             out_ref[col] = total.astype(jnp.bfloat16)
@@ -417,7 +441,7 @@ def _census_call_x(Lw: int, Rh: int, Wext: int, n_cols: int, n_rows: int,
     the d axis reversed (see module comment).  Outputs: (Lw, 128, Rh)
     bf16 per orientation, d REVERSED on sublanes."""
     n_blk = Lw // t_blk
-    bv = _bf16_val(_SGM_BIG_F)
+    bv = _bf16_val(_SGM_BIG_F)   # in-volume out-of-range cost
     bp = _bf16_val(_BIG)
     cdt = jnp.bfloat16 if carry_bf16 else jnp.float32
     clamp = _SGM_BIG_F_BF16 if carry_bf16 else None
@@ -451,17 +475,22 @@ def _census_call_x(Lw: int, Rh: int, Wext: int, n_cols: int, n_rows: int,
                 & (x_global < n_cols)
             return jnp.where(in_img, cost, bp).astype(cdt)
 
-        def advance(carry_ref, cost, out_ref, col):
+        def advance(carry_ref, cost, out_ref, col, x_fwd):
             nxt = _dp_update_t(carry_ref[0], cost, p1, p2, clamp=clamp)
+            if x_fwd is not None:
+                # wedge free-entry restart, FORWARD orientation only
+                # (the backward path never crosses the wedge into range;
+                # stereo._SGM_BIG note)
+                nxt = jnp.where(dreal == x_fwd, cost, nxt)
             carry_ref[0] = nxt
             out_ref[col] = nxt.astype(jnp.bfloat16)
 
         for col in range(t_blk):
             xf = b * t_blk + col
-            advance(cf_ref, cost_at(clf_ref, Sf, col, xf), of_ref, col)
+            advance(cf_ref, cost_at(clf_ref, Sf, col, xf), of_ref, col, xf)
             xb = (n_blk - 1 - b) * t_blk + (t_blk - 1 - col)
             advance(cb_ref, cost_at(clb_ref, Sb, t_blk - 1 - col, xb),
-                    ob_ref, t_blk - 1 - col)
+                    ob_ref, t_blk - 1 - col, None)
 
     blk = (t_blk, Rh)
     out_blk = (t_blk, _LANES, Rh)

@@ -16,16 +16,21 @@ redundancy and zero intra-family communication:
 * y± scans with carry roll 0 (vertical family): every COLUMN is
   independent -> shard W.  Exact the same way.
 * diagonal scans move one column per row: independent only along the
-  perpendicular diagonal.  They could be column-sharded after a per-row
-  SHEAR remap (v'[y, x'] = v[y, x' + y] turns a diagonal chain into a
-  column) at the cost of a border-restart mask inside the scan, or carried
-  across slab boundaries with a ppermute ring (one hop per scan step).
-  Neither is built here: in the replicated 8-path scan the three rolls
-  sharing the y axis are BATCHED and their responses summed in f32 before
-  the bf16 output cast (`models/stereo._axis_scan`), so splitting the
-  vertical roll out of that sum would change the rounding.  The 8-path
-  prototype therefore shards the x family only and keeps the batched
-  y family replicated — still bitwise-equal end to end.
+  perpendicular diagonal.  Round 5 column-shards them WITH the vertical
+  roll in one batched scan via a PPERMUTE RING carry exchange
+  (`_ring_axis_scan`): at every scan row, each diagonal channel ships its
+  one boundary carry column — a (1, D) sliver, bf16/f32 — to the
+  neighbor the roll crosses into (`ppermute` over the mesh ring), exactly
+  the value the replicated roll would have read, with the global-border
+  restart masked by global-x iota.  The per-step DP and the sequential
+  3-channel sum stay column-elementwise, so the batched y-family sum
+  order is UNCHANGED and the 8-path mode is bitwise-equal to the
+  replicated pipeline with ALL FOUR scan batches sharded (zero redundant
+  compute; 4 slivers/row of ICI traffic = 4*H*D*4 B ~ 0.8 MB/frame at
+  KITTI/127 — noise next to the ~237 MB family reshard).  The shear
+  remap alternative (v'[y, x'] = v[y, x' + y]) was not taken: it
+  de-batches the diagonals from the vertical roll, which changes the
+  per-step sum rounding and the bitwise claim with it.
 
 Between families the partial sums live on different axes (x family
 H-sharded, y family W-sharded); the `x_agg + y_agg` add under jit lets
@@ -46,12 +51,17 @@ judged when real multi-chip hardware exists.
 
 Exactness of the divisibility padding (census cost only): row slabs pad H
 for the x family — pad rows are independent chains, sliced off.  Column
-slabs pad W for the vertical family — pad columns are independent chains,
-sliced off.  The vertical family's scan length is the true H and the
-horizontal family's is the true W, so no scan ever ENTERS the real region
-from padding and no restart subtlety arises.  Census costs are small
-integers, exactly representable through every bf16 volume value and f32
-carry, which is what makes "bitwise" a meaningful claim.
+slabs pad W for the y family — for the vertical roll pad columns are
+independent chains, sliced off; for the diagonals the only leak from a
+pad column into a real one is the roll == -1 carry into global
+x == W_true - 1, which the ring roll masks to 0 — exactly the
+`_roll_carry` border restart the replicated scan applies at its last
+(unpadded) column, so the pad is invisible.  The vertical family's scan
+length is the true H and the horizontal family's is the true W, so no
+scan ever ENTERS the real region from padding along its own axis.
+Census costs are small integers, exactly representable through every
+bf16 volume value and f32 carry, which is what makes "bitwise" a
+meaningful claim.
 """
 
 from __future__ import annotations
@@ -62,9 +72,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..models.stereo import (StereoConfig, _axis_scan, _census,
+from ..models.stereo import (StereoConfig, _axis_scan, _census, _sgm_dp,
                              _wta_and_gates, _median_postfilter,
-                             _scanline_fill, _SGM_BIG)
+                             _scanline_fill, _SGM_BIG, _SGM_BIG_BF16)
 
 _AXIS = "surfel"
 
@@ -109,10 +119,77 @@ def _slab_cost_cols(cl_s: jnp.ndarray, cr_full: jnp.ndarray, col0,
         crd = jax.lax.dynamic_slice(
             crp, (jnp.int32(0), cfg.max_disparity - d + col0), (h, wn))
         c = jax.lax.population_count(cl_s ^ crd).astype(jnp.bfloat16)
+        # wedge (xg < d) = BIG like the replicated builders; divisibility
+        # pad columns (xg >= w_real) are independent chains sliced off
         keep = (xg >= d) & (xg < w_real)
         return carry, jnp.where(keep, c, jnp.bfloat16(_SGM_BIG))
 
     return jax.lax.scan(step, 0, ds)[1]
+
+
+def _ring_axis_scan(vv_slab: jnp.ndarray, rolls, p1: float, p2: float,
+                    col0, w_real: int, min_d: int,
+                    carry_bf16: bool = False) -> jnp.ndarray:
+    """Column-sharded batched y-family scan (rolls over global image x)
+    with a ppermute-ring carry exchange — bitwise equal to the replicated
+    `models/stereo._axis_scan(vv, rolls, ..., entry="y")` restricted to
+    this slab (module doc).  Runs inside shard_map over the `_AXIS` ring.
+
+    vv_slab: (H, wn, D) column slab, global columns [col0, col0 + wn);
+    divisibility-pad columns (global x >= w_real) carry BIG and are
+    sliced off by the caller.  Every step, each roll != 0 channel ships
+    its boundary carry column to the crossing neighbor (one (1, D)
+    sliver per direction) and masks the TRUE-width global border to 0 —
+    `_roll_carry`'s restart, ring-wide.  The DP update, the entry="y"
+    free restart (static global positions x == k + min_d), and the
+    sequential per-step channel sum are column-elementwise, so sharding
+    changes no rounding."""
+    g = len(rolls)
+    H, wn, D = vv_slab.shape
+    cdt = jnp.bfloat16 if carry_bf16 else jnp.float32
+    clamp = _SGM_BIG_BF16 if carry_bf16 else None
+    n = jax.lax.psum(1, _AXIS)
+
+    xg = jax.lax.broadcasted_iota(jnp.int32, (wn, D), 0) + col0
+    kd = jax.lax.broadcasted_iota(jnp.int32, (wn, D), 1)
+    ent = None
+    if any(r == 1 for r in rolls):
+        ent_rd = xg == kd + min_d
+        ent = jnp.stack([ent_rd if rolls[k] == 1 else jnp.zeros_like(ent_rd)
+                         for k in range(g)])
+
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+
+    def roll_ring(c, roll):
+        if roll == 0:
+            return c
+        if roll > 0:
+            recv = jax.lax.ppermute(c[-1:, :], _AXIS, fwd)
+            c2 = jnp.concatenate([recv, c[:-1]], axis=0)
+            return jnp.where(xg == 0, jnp.zeros((), cdt), c2)
+        recv = jax.lax.ppermute(c[:1, :], _AXIS, bwd)
+        c2 = jnp.concatenate([c[1:], recv], axis=0)
+        return jnp.where(xg == w_real - 1, jnp.zeros((), cdt), c2)
+
+    def one_dir(reverse):
+        def step(carry, cost):
+            rolled = jnp.stack([roll_ring(carry[k], rolls[k])
+                                for k in range(g)])
+            cost_c = cost[None].astype(cdt)
+            nxt = _sgm_dp(rolled, cost_c, p1, p2, clamp=clamp)
+            if ent is not None:
+                nxt = jnp.where(ent, cost_c, nxt)
+            tot = nxt[0]
+            for k in range(1, g):
+                tot = tot + nxt[k]
+            return nxt, tot.astype(jnp.bfloat16)
+
+        zeros = jnp.zeros((g, wn, D), cdt)
+        _, ys = jax.lax.scan(step, zeros, vv_slab, reverse=reverse)
+        return ys.astype(jnp.float32)
+
+    return one_dir(False) + one_dir(True)
 
 
 @functools.lru_cache(maxsize=8)
@@ -140,7 +217,8 @@ def sharded_sgm_disparity(mesh: Mesh, cfg: StereoConfig, height: int,
         # (hn, W) row slab -> (D', hn, W) horizontal-family path sums
         vol = _slab_cost_rows(cl_s, cr_s, cfg)
         vh = jnp.transpose(vol, (2, 1, 0))            # (W, hn, D')
-        s = _axis_scan(vh, (0,), p1, p2, carry_bf16=bf16)
+        s = _axis_scan(vh, (0,), p1, p2, carry_bf16=bf16,
+                       entry="x", min_d=cfg.min_disparity)
         return jnp.transpose(s, (2, 1, 0))
 
     def y_body(cl_s, cr_full):
@@ -149,6 +227,16 @@ def sharded_sgm_disparity(mesh: Mesh, cfg: StereoConfig, height: int,
         vol = _slab_cost_cols(cl_s, cr_full, col0, w, cfg)
         vv = jnp.transpose(vol, (1, 2, 0))            # (H, wn, D')
         s = _axis_scan(vv, (0,), p1, p2, carry_bf16=bf16)
+        return jnp.transpose(s, (2, 0, 1))
+
+    def y8_body(cl_s, cr_full):
+        # (H, wn) column slab -> (D', H, wn) vertical + diagonal path
+        # sums, diagonal carries exchanged over the mesh ring
+        col0 = jax.lax.axis_index(_AXIS) * wn
+        vol = _slab_cost_cols(cl_s, cr_full, col0, w, cfg)
+        vv = jnp.transpose(vol, (1, 2, 0))            # (H, wn, D')
+        s = _ring_axis_scan(vv, (0, 1, -1), p1, p2, col0, w,
+                            cfg.min_disparity, carry_bf16=bf16)
         return jnp.transpose(s, (2, 0, 1))
 
     # check_vma=False: the lax.scan carries inside _axis_scan start from
@@ -163,8 +251,16 @@ def sharded_sgm_disparity(mesh: Mesh, cfg: StereoConfig, height: int,
         y_body, mesh=mesh,
         in_specs=(P(None, _AXIS), P()),
         out_specs=P(None, None, _AXIS), check_vma=False)
+    y8_sharded = jax.shard_map(
+        y8_body, mesh=mesh,
+        in_specs=(P(None, _AXIS), P()),
+        out_specs=P(None, None, _AXIS), check_vma=False)
 
-    def run(left, right):
+    def run(left, right, prior_disp=None):
+        # prior_disp (optional, replicated): the map prior for the
+        # tie-aware rescue gate — same plumbing as the dense path, so
+        # prior_rescue=True computes the same function on both backends
+        # (ADVICE r4: it used to be silently inert here)
         cl = _census(left, cfg.census_radius)
         cr = _census(right, cfg.census_radius)
 
@@ -177,17 +273,17 @@ def sharded_sgm_disparity(mesh: Mesh, cfg: StereoConfig, height: int,
             y_agg = y_sharded(jnp.pad(cl, ((0, 0), (0, wp - w))), cr)
             y_agg = y_agg[:, :, :w]
         else:
-            # 8-path: vertical + diagonals stay batched in ONE replicated
-            # scan — their per-step f32 sum precedes the bf16 output cast,
-            # so splitting the vertical roll out would change rounding
-            # (module doc).  Matches `_sgm_aggregate`'s y part bitwise.
-            vol = _slab_cost_rows(cl, cr, cfg)
-            vv = jnp.transpose(vol, (1, 2, 0))        # (H, W, D')
-            y_sum = _axis_scan(vv, (0, 1, -1), p1, p2, carry_bf16=bf16)
-            y_agg = jnp.transpose(y_sum, (2, 0, 1))
+            # 8-path: vertical + diagonals stay batched in ONE scan (the
+            # per-step channel sum precedes the bf16 output cast, so they
+            # cannot be split without changing rounding) and are
+            # W-sharded TOGETHER via the ppermute-ring carry exchange
+            # (`_ring_axis_scan`, round 5) — all four scan batches now
+            # shard, matching `_sgm_aggregate`'s y part bitwise.
+            y_agg = y8_sharded(jnp.pad(cl, ((0, 0), (0, wp - w))), cr)
+            y_agg = y_agg[:, :, :w]
 
         agg = x_agg + y_agg          # GSPMD inserts the family reshard
-        out = _wta_and_gates(left, agg, cfg)
+        out = _wta_and_gates(left, agg, cfg, prior_disp=prior_disp)
         if cfg.occlusion_fill and cfg.occlusion_max_gap > 0:
             out = _scanline_fill(out, cfg.occlusion_max_gap,
                                  cfg.occlusion_lerp_tol)

@@ -204,16 +204,18 @@ def sharded_fuse_frame_stereo_windowed_packed(config: SurfelMapConfig,
         # merges the z-buffers exactly, so the prior (and thus the depth
         # map) is identical on every shard — the sharded == dense
         # invariant holds with prior_rescue on (tests/test_sharding.py)
-        depth = compute_depth_stereo(config, stereo_config, left, right,
-                                     bf, filter_depth,
-                                     prior_depth=_stereo_prior(
-                                         config, stereo_config, bank,
-                                         pose, axis_name="surfel"))
+        depth, n_rescued = compute_depth_stereo(
+            config, stereo_config, left, right, bf, filter_depth,
+            prior_depth=_stereo_prior(config, stereo_config, bank,
+                                      pose, axis_name="surfel"))
         img = jnp.pad(left, ((0, ph - oh), (0, pw - ow)))
         dep = jnp.pad(depth, ((0, ph - oh), (0, pw - ow)))
         frame = FrameInput(image=img, depth=dep, pose=pose,
                            frame_index=ref)
-        return _fuse_shard(config, bank, frame, n_surfel, pose_mask=mask)
+        bank, stats = _fuse_shard(config, bank, frame, n_surfel,
+                                  pose_mask=mask)
+        stats["n_rescued_px"] = n_rescued   # replicated (identical depth)
+        return bank, stats
 
     def stepper(banks, bufs, poses, refs, bfs, masks):
         banks = banks.replace(count=banks.count[:, 0])
@@ -224,7 +226,8 @@ def sharded_fuse_frame_stereo_windowed_packed(config: SurfelMapConfig,
 
     bank_spec = _bank_pspec()
     stats_spec = {k: P("data") for k in
-                  ("n_live", "n_new", "n_dropped", "n_fused_seeds")}
+                  ("n_live", "n_new", "n_dropped", "n_fused_seeds",
+                   "n_rescued_px")}
     mapped = jax.shard_map(
         stepper, mesh=mesh,
         in_specs=(bank_spec, P("data"), P("data"), P("data"), P("data"),
@@ -247,13 +250,16 @@ def sharded_fuse_frame_stereo(config: SurfelMapConfig, stereo_config,
 
     def per_stream(bank, buf, pose, ref, bf):
         left, right = unpack_stereo(config, buf)
-        depth = compute_depth_stereo(config, stereo_config, left, right,
-                                     bf, filter_depth)
+        depth, n_rescued = compute_depth_stereo(config, stereo_config,
+                                                left, right, bf,
+                                                filter_depth)
         img = jnp.pad(left, ((0, ph - oh), (0, pw - ow)))
         dep = jnp.pad(depth, ((0, ph - oh), (0, pw - ow)))
         frame = FrameInput(image=img, depth=dep, pose=pose,
                            frame_index=ref)
-        return _fuse_shard(config, bank, frame, n_surfel)
+        bank, stats = _fuse_shard(config, bank, frame, n_surfel)
+        stats["n_rescued_px"] = n_rescued
+        return bank, stats
 
     def stepper(banks, bufs, poses, refs, bfs):
         banks = banks.replace(count=banks.count[:, 0])
@@ -263,7 +269,8 @@ def sharded_fuse_frame_stereo(config: SurfelMapConfig, stereo_config,
 
     bank_spec = _bank_pspec()
     stats_spec = {k: P("data") for k in
-                  ("n_live", "n_new", "n_dropped", "n_fused_seeds")}
+                  ("n_live", "n_new", "n_dropped", "n_fused_seeds",
+                   "n_rescued_px")}
     mapped = jax.shard_map(
         stepper, mesh=mesh,
         in_specs=(bank_spec, P("data"), P("data"), P("data"), P("data")),

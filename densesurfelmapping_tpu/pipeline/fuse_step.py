@@ -182,11 +182,15 @@ def compute_depth_stereo(config: SurfelMapConfig, stereo_config,
     from ..ops import depthfilter
 
     prior_disp = None
+    n_rescued = jnp.zeros((), jnp.int32)
     if prior_depth is not None:
         prior_disp = jnp.where(prior_depth > 0,
                                bf / jnp.maximum(prior_depth, 1e-6), 0.0)
-    disp = stereo_model.disparity(left_f32, right_f32, stereo_config,
-                                  prior_disp=prior_disp)
+        disp, n_rescued = stereo_model.disparity(
+            left_f32, right_f32, stereo_config, prior_disp=prior_disp,
+            with_rescued=True)
+    else:
+        disp = stereo_model.disparity(left_f32, right_f32, stereo_config)
     depth = jnp.where(disp > 0, bf / jnp.maximum(disp, 1e-6), 0.0)
     depth = jnp.where(depth <= config.fuse_far, depth, 0.0)
     if filter_depth:
@@ -202,7 +206,7 @@ def compute_depth_stereo(config: SurfelMapConfig, stereo_config,
             d2 = stereo_model._median_postfilter(
                 d2, stereo_config.speckle_tol, stereo_config.fill_support)
             depth = jnp.where(d2 > 0, bf / jnp.maximum(d2, 1e-6), 0.0)
-    return depth
+    return depth, n_rescued
 
 
 def _stereo_prior(config: SurfelMapConfig, stereo_config, bank: SurfelBank,
@@ -212,8 +216,12 @@ def _stereo_prior(config: SurfelMapConfig, stereo_config, bank: SurfelBank,
     Rendered from the PRE-UPDATE bank (the map as of the previous frame)
     inside the same device program — the bank is already in HBM, so the
     prior costs one projection pass + one coarse scatter and no transfers
-    (`ops/render.py`).  Trace-time gated on stereo_config.prior_rescue."""
-    if not getattr(stereo_config, "prior_rescue", False):
+    (`ops/render.py`).  Trace-time gated on stereo_config.prior_rescue;
+    also off in hierarchical mode, whose matcher ignores prior_disp (its
+    validity comes from the half-res solve) — without this gate the fuse
+    program would pay the render every frame and discard it (ADVICE r4)."""
+    if not getattr(stereo_config, "prior_rescue", False) \
+            or getattr(stereo_config, "hierarchical", False):
         return None
     from ..ops.render import render_prior_depth
     return render_prior_depth(config, bank, pose,
@@ -238,14 +246,15 @@ def fuse_frame_stereo_packed(config: SurfelMapConfig, stereo_config,
     ph, pw = config.padded_height, config.padded_width
     oh, ow = config.height, config.width
     left, right = unpack_stereo(config, buf)
-    depth = compute_depth_stereo(config, stereo_config, left, right, bf,
-                                 filter_depth,
-                                 prior_depth=_stereo_prior(
-                                     config, stereo_config, bank, pose))
+    depth, n_rescued = compute_depth_stereo(
+        config, stereo_config, left, right, bf, filter_depth,
+        prior_depth=_stereo_prior(config, stereo_config, bank, pose))
     img = jnp.pad(left, ((0, ph - oh), (0, pw - ow)))
     dep = jnp.pad(depth, ((0, ph - oh), (0, pw - ow)))
-    return fuse_frame(config, bank, FrameInput(
+    bank, stats = fuse_frame(config, bank, FrameInput(
         image=img, depth=dep, pose=pose, frame_index=frame_index))
+    stats["n_rescued_px"] = n_rescued
+    return bank, stats
 
 
 @functools.lru_cache(maxsize=4)
@@ -269,15 +278,16 @@ def fuse_frame_stereo_windowed_packed(config: SurfelMapConfig,
     ph, pw = config.padded_height, config.padded_width
     oh, ow = config.height, config.width
     left, right = unpack_stereo(config, buf)
-    depth = compute_depth_stereo(config, stereo_config, left, right, bf,
-                                 filter_depth,
-                                 prior_depth=_stereo_prior(
-                                     config, stereo_config, bank, pose))
+    depth, n_rescued = compute_depth_stereo(
+        config, stereo_config, left, right, bf, filter_depth,
+        prior_depth=_stereo_prior(config, stereo_config, bank, pose))
     img = jnp.pad(left, ((0, ph - oh), (0, pw - ow)))
     dep = jnp.pad(depth, ((0, ph - oh), (0, pw - ow)))
-    return fuse_frame(config, bank, FrameInput(
+    bank, stats = fuse_frame(config, bank, FrameInput(
         image=img, depth=dep, pose=pose, frame_index=frame_index),
         pose_mask=pose_mask)
+    stats["n_rescued_px"] = n_rescued
+    return bank, stats
 
 
 @functools.lru_cache(maxsize=4)
@@ -396,6 +406,43 @@ def fuse_frames_scan(config: SurfelMapConfig, bank: SurfelBank,
 @functools.lru_cache(maxsize=4)
 def jitted_fuse_frames_scan(config: SurfelMapConfig):
     return jax.jit(functools.partial(fuse_frames_scan, config),
+                   donate_argnums=(0,))
+
+
+def fuse_frames_looped(config: SurfelMapConfig, n_loops: int,
+                       bank: SurfelBank,
+                       images_u8: jnp.ndarray, depths_f16: jnp.ndarray,
+                       poses: jnp.ndarray) -> Tuple[SurfelBank, jnp.ndarray]:
+    """Fuse K stacked compact frames `n_loops` times in ONE device program:
+    a looped replay of the trajectory (`lax.scan` over n_loops*K steps,
+    step t reading frame t mod K by dynamic_slice on the resident stack).
+
+    Built for weather-independent benchmarking (bench.py `loop_fps`): one
+    dispatch + one hard D2H fence amortize the relay's per-RPC latency
+    over n_loops*K FULL fuse steps, so even a catastrophically degraded
+    link (~seconds per RPC; CLAUDE.md) yields a tight device-throughput
+    lower bound.  Every step runs the complete `fuse_frame_compact`
+    pipeline; the bank evolves across laps (later laps fuse against a
+    larger map — if anything MORE work per frame than lap one).  Returns
+    (bank', per-step live-surfel-count trace (n_loops*K,) i32 — a
+    monotone-sanity readout for the fence)."""
+    k = images_u8.shape[0]
+
+    def body(bank, t):
+        i = t % k
+        img = jax.lax.dynamic_index_in_dim(images_u8, i, keepdims=False)
+        dep = jax.lax.dynamic_index_in_dim(depths_f16, i, keepdims=False)
+        pose = jax.lax.dynamic_index_in_dim(poses, i, keepdims=False)
+        bank, _ = fuse_frame_compact(config, bank, img, dep, pose, t)
+        return bank, bank.count
+
+    return jax.lax.scan(body, bank,
+                        jnp.arange(n_loops * k, dtype=jnp.int32))
+
+
+@functools.lru_cache(maxsize=4)
+def jitted_fuse_frames_looped(config: SurfelMapConfig, n_loops: int):
+    return jax.jit(functools.partial(fuse_frames_looped, config, n_loops),
                    donate_argnums=(0,))
 
 

@@ -7,6 +7,14 @@ completion barrier; block_until_ready can return early — CLAUDE.md).
 Prints ms/frame for the full disparity pipeline and the aggregation alone,
 for both backends, plus accuracy equality.
 
+Round 5 (VERDICT r4 #3): every variant is ALSO timed as a one-program
+batch chain — `iters` full disparity solves inside ONE lax.scan program
+(each step's input perturbed by the previous step's output sum, so the
+solves are sequential and non-DCE-able), one dispatch + one hard D2H
+fence.  The relay contributes ~2 RPCs total however degraded the window,
+so the `1prog` column is a valid device-throughput bound from ANY
+weather; the per-dispatch column stays for healthy-window cross-checks.
+
 Usage: python experiments/sgm_bench.py [iters]
 """
 
@@ -51,7 +59,24 @@ def main(iters: int = 15):
             out = chain(l, r, out, np.float32(k + 1))
         np.asarray(out)                      # hard fence
         dt = (time.perf_counter() - t0) / iters * 1e3
-        print(f"{name:28s} {dt:6.1f} ms", flush=True)
+
+        # one-program batch chain (weather-independent; module doc): the
+        # seed scalar differs between the compile/warmup call and the
+        # timed call so the relay's identical-input result cache cannot
+        # serve the timed one (CLAUDE.md)
+        @jax.jit
+        def prog(l, r, seed):
+            def body(c, i):
+                out = fn(l + 1e-3 * i + 1e-12 * c.astype(l.dtype), r)
+                return jnp.sum(out).astype(jnp.float32), None
+            return jax.lax.scan(
+                body, seed, jnp.arange(iters, dtype=jnp.float32))[0]
+        np.asarray(prog(l, r, jnp.float32(0)))   # compile + warm, fenced
+        t0 = time.perf_counter()
+        v = prog(l, r, jnp.float32(1))
+        np.asarray(v)                            # hard fence
+        dt1 = (time.perf_counter() - t0) / iters * 1e3
+        print(f"{name:44s} {dt:6.1f} ms   1prog {dt1:6.1f} ms", flush=True)
         return out
 
     outs = {}

@@ -36,23 +36,27 @@ def main():
     # --- axis_scan_pallas: (L, R, D) volume, all roll families ---
     vol = jnp.asarray(rng.uniform(0, 60, (24, 20, 48)).astype(np.float32))
     ref = {}
-    for rolls in [(0,), (0, 1, -1)]:
-        for bf16 in (False, True):
-            name = f"axis_scan rolls={rolls} bf16={bf16}"
-            try:
-                out = np.asarray(sgm.axis_scan_pallas(
-                    vol, rolls, 7.0, 100.0, t_blk=8, carry_bf16=bf16))
-                if not bf16:
-                    ref[rolls] = out
-                else:
-                    # bf16 carries quantize: agreement is loose, but the
-                    # argmin structure should survive at these magnitudes
-                    err = np.abs(out - ref[rolls]).max()
-                    print(f"  {name}: max|bf16-f32| = {err:.2f}")
-                print(f"PASS {name}")
-            except Exception as e:  # noqa: BLE001 - report every mode
-                failures.append(name)
-                print(f"FAIL {name}: {type(e).__name__}: {str(e)[:200]}")
+    # entry = the round-5 wedge free-entry restart (in-kernel iota +
+    # select) — the production path always passes it, so it must lower
+    for rolls, entries in [((0,), (None, "x")), ((0, 1, -1), (None, "y"))]:
+        for entry in entries:
+            for bf16 in (False, True):
+                name = f"axis_scan rolls={rolls} entry={entry} bf16={bf16}"
+                try:
+                    out = np.asarray(sgm.axis_scan_pallas(
+                        vol, rolls, 7.0, 100.0, t_blk=8, carry_bf16=bf16,
+                        entry=entry, min_d=1))
+                    if not bf16:
+                        ref[(rolls, entry)] = out
+                    else:
+                        # bf16 carries quantize: agreement is loose, but
+                        # the argmin structure should survive here
+                        err = np.abs(out - ref[(rolls, entry)]).max()
+                        print(f"  {name}: max|bf16-f32| = {err:.2f}")
+                    print(f"PASS {name}")
+                except Exception as e:  # noqa: BLE001 - report every mode
+                    failures.append(name)
+                    print(f"FAIL {name}: {type(e).__name__}: {str(e)[:200]}")
 
     # --- census_aggregate: straight from census images, 4- and 8-path ---
     cl = jnp.asarray(rng.integers(0, 1 << 24, (24, 40)).astype(np.uint32))

@@ -279,6 +279,30 @@ def test_fuse_frames_scan_matches_sequential():
                                rtol=1e-6, atol=1e-6)
     assert stats["n_new"].shape == (4,)
 
+    # the looped-replay bench program (one lap) == the batch scan BITWISE:
+    # its dynamic_slice frame fetch + modulo indexing must not change the
+    # math (bench.py's loop_fps rides this)
+    loop_bank, counts = fuse_step.jitted_fuse_frames_looped(cfg, 1)(
+        SurfelBank.empty(cfg.surfel_capacity),
+        jnp.asarray(np.stack(cis)), jnp.asarray(np.stack(cds)),
+        jnp.asarray(np.stack(ps)))
+    assert int(loop_bank.count) == n
+    np.testing.assert_array_equal(np.asarray(loop_bank.position[:n]),
+                                  np.asarray(scan_bank.position[:n]))
+    assert counts.shape == (4,)
+    assert int(counts[-1]) == n
+
+    # two laps: the map keeps evolving (counts monotone, final >= one lap —
+    # re-fused frames fuse into existing surfels instead of duplicating)
+    loop2_bank, counts2 = fuse_step.jitted_fuse_frames_looped(cfg, 2)(
+        SurfelBank.empty(cfg.surfel_capacity),
+        jnp.asarray(np.stack(cis)), jnp.asarray(np.stack(cds)),
+        jnp.asarray(np.stack(ps)))
+    c2 = np.asarray(counts2)
+    assert c2.shape == (8,)
+    assert (np.diff(c2) >= 0).all()
+    assert int(loop2_bank.count) >= n
+
 
 def test_native_bfs_matches_python():
     """The C++ BFS and the Python BFS walk identical windows."""

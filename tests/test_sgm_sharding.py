@@ -1,11 +1,13 @@
 """Axis-sharded SGM aggregation: numerics pinned vs the replicated path.
 
 parallel/sgm_sharding.py shards each SGM path family along the axis
-perpendicular to its scan (x± over rows, vertical y± over columns; see its
-module doc).  These tests pin, on the virtual 8-device mesh, that the
-sharded disparity equals `models/stereo.disparity` with the lax.scan
-backend BITWISE — including the divisibility-padding cases where H or W is
-not a multiple of the shard count.
+perpendicular to its scan (x± over rows, the batched vertical + diagonal
+family over columns with a ppermute-ring carry exchange for the diagonal
+rolls; see its module doc).  These tests pin, on the virtual 8-device
+mesh, that the sharded disparity equals `models/stereo.disparity` with
+the lax.scan backend BITWISE — including the divisibility-padding cases
+where H or W is not a multiple of the shard count (the 8-path cases
+exercise the ring exchange and its global-border restart masks).
 """
 
 import numpy as np
@@ -89,3 +91,26 @@ def test_sad_cost_rejected():
     cfg = stereo.StereoConfig(cost="sad", aggregation="sgm")
     with pytest.raises(ValueError):
         sgm_sharding.sharded_sgm_disparity(mesh, cfg, 48, 96)
+
+
+def test_sharded_prior_rescue_matches_dense():
+    """prior_rescue computes the same function on both backends (ADVICE
+    r4: the sharded path used to silently drop prior_disp): sharded ==
+    dense bitwise with a replicated prior active, and the prior actually
+    changes the output somewhere (so the pin is not vacuous)."""
+    left, right, max_d = stereo_pair(seed=11)
+    cfg = stereo.StereoConfig(max_disparity=max_d, aggregation="sgm",
+                              sgm_paths=4, sgm_pallas=False,
+                              post_median=False, prior_rescue=True)
+    base = np.asarray(replicated_disparity(left, right, cfg))
+    # a prior that vouches everywhere the matcher found SOMETHING: rescue
+    # re-admits gate-rejected near-ties
+    prior = jnp.asarray(np.where(base > 0, base, 8.0).astype(np.float32))
+    want = np.asarray(stereo.disparity(left, right, cfg, prior_disp=prior))
+
+    mesh = sharding.make_mesh(8, data=1)
+    fn = sgm_sharding.sharded_sgm_disparity(mesh, cfg, *left.shape)
+    got = np.asarray(fn(left, right, prior))
+    np.testing.assert_array_equal(got, want)
+    # inert without a prior, bitwise
+    np.testing.assert_array_equal(np.asarray(fn(left, right)), base)

@@ -163,9 +163,14 @@ def test_census_transform_is_radiometric_invariant():
     np.testing.assert_array_equal(a, b)
 
 
-def _sgm_path_oracle(vol, dy, dx, p1, p2):
+def _sgm_path_oracle(vol, dy, dx, p1, p2, entry_min_d=None):
     """Scalar float64 single-direction SGM path sum L for direction
-    (dy, dx) over a (D, H, W) volume — the textbook recurrence."""
+    (dy, dx) over a (D, H, W) volume — the textbook recurrence.
+
+    entry_min_d: the wedge free-entry restart (models/stereo._SGM_BIG
+    note): on +x-moving directions (dx == +1, the only ones whose history
+    crosses the x < d wedge into range), plane k restarts at L = C at its
+    entry column x == k + entry_min_d."""
     v = vol.astype(np.float64)
     D, H, W = v.shape
     L = np.zeros_like(v)
@@ -183,6 +188,10 @@ def _sgm_path_oracle(vol, dy, dx, p1, p2):
                 L[:, y, x] = v[:, y, x] + cand - Lmin
             else:
                 L[:, y, x] = v[:, y, x]
+            if entry_min_d is not None and dx > 0:
+                for k in range(D):
+                    if x == k + entry_min_d:
+                        L[k, y, x] = v[k, y, x]
     return L
 
 
@@ -230,6 +239,26 @@ def test_sgm_axis_scan_matches_oracle():
                               (1, -1), (-1, -1)])
     check(got, want)
 
+    # production entry modes: the wedge free-entry restart (this volume's
+    # wedge is x < k + 1, i.e. min_d = 1)
+    got = np.transpose(
+        np.asarray(stereo._axis_scan(vh, (0,), p1, p2,
+                                     entry="x", min_d=1), np.float32),
+        (2, 1, 0))
+    want = (_sgm_path_oracle(vol, 0, 1, p1, p2, entry_min_d=1)
+            + _sgm_path_oracle(vol, 0, -1, p1, p2))
+    check(got, want)
+
+    got = np.transpose(
+        np.asarray(stereo._axis_scan(vv, (0, 1, -1), p1, p2,
+                                     entry="y", min_d=1), np.float32),
+        (2, 0, 1))
+    want = sum(_sgm_path_oracle(vol, dy, dx, p1, p2,
+                                entry_min_d=(1 if dx > 0 else None))
+               for dy, dx in [(1, 0), (-1, 0), (1, 1), (-1, 1),
+                              (1, -1), (-1, -1)])
+    check(got, want)
+
 
 def test_sgm_rejects_constant_image():
     h, w = 40, 96
@@ -252,16 +281,21 @@ def test_pallas_sgm_matches_xla_axis_scan():
                                                                  None]
         vol = np.where(wedge, 1e4, vol)
         volj = jnp.asarray(vol, jnp.bfloat16)
-        for v, rolls in [
-            (jnp.transpose(volj, (2, 1, 0)), (0,)),
-            (jnp.transpose(volj, (1, 2, 0)), (0, 1, -1)),
+        for v, rolls, entry in [
+            (jnp.transpose(volj, (2, 1, 0)), (0,), None),
+            (jnp.transpose(volj, (1, 2, 0)), (0, 1, -1), None),
+            (jnp.transpose(volj, (2, 1, 0)), (0,), "x"),
+            (jnp.transpose(volj, (1, 2, 0)), (0, 1, -1), "y"),
         ]:
-            want = np.asarray(stereo._axis_scan(v, rolls, 1.0, 8.0),
+            want = np.asarray(stereo._axis_scan(v, rolls, 1.0, 8.0,
+                                                entry=entry, min_d=1),
                               np.float32)
             got = np.asarray(
-                sgm_pallas.axis_scan_pallas(v, rolls, 1.0, 8.0),
+                sgm_pallas.axis_scan_pallas(v, rolls, 1.0, 8.0,
+                                            entry=entry, min_d=1),
                 np.float32)
-            np.testing.assert_array_equal(got, want)
+            np.testing.assert_array_equal(got, want,
+                                          err_msg=f"{rolls} {entry}")
 
 
 def test_pallas_sgm_disparity_matches_xla(stereo_pair):
@@ -356,7 +390,8 @@ def test_sgm_right_wta_bf16_shear_vs_f32_oracle(stereo_pair):
     l, r = jnp.asarray(left), jnp.asarray(right)
     vol = stereo._cost_volume(l, r, scfg)
     agg = np.asarray(stereo._sgm_aggregate(
-        vol, scfg.sgm_p1, scfg.sgm_p2, scfg.sgm_paths, False),
+        vol, scfg.sgm_p1, scfg.sgm_p2, scfg.sgm_paths, False,
+        min_d=scfg.min_disparity),
         np.float32)                           # (D, H, W); plane k <-> d=k+min
     D, h, w = agg.shape
     dL = np.argmin(agg, axis=0).astype(np.int32) + scfg.min_disparity
@@ -416,7 +451,7 @@ def test_census_fused_matches_materialized(stereo_pair):
                                    sgm_paths=paths)
         vol = stereo._cost_volume(l, r, scfg)
         want = np.asarray(stereo._sgm_aggregate(
-            vol, scfg.sgm_p1, scfg.sgm_p2, paths, True))
+            vol, scfg.sgm_p1, scfg.sgm_p2, paths, True, min_d=min_d))
         v_rolls = (0,) if paths == 4 else (0, 1, -1)
         got = np.asarray(census_aggregate(
             stereo._census(l, scfg.census_radius),
@@ -459,10 +494,10 @@ def test_sgm_bf16_carries_cross_backend_and_accuracy(stereo_pair):
 
     agg_scan = np.asarray(stereo._sgm_aggregate(
         vol, scfg.sgm_p1, scfg.sgm_p2, 8, use_pallas=False,
-        carry_bf16=True))
+        carry_bf16=True, min_d=1))
     agg_pal = np.asarray(stereo._sgm_aggregate(
         vol, scfg.sgm_p1, scfg.sgm_p2, 8, use_pallas=True,
-        carry_bf16=True))
+        carry_bf16=True, min_d=1))
     agg_fused = np.asarray(census_aggregate(
         cl, cr, (0, 1, -1), scfg.sgm_p1, scfg.sgm_p2, 1, 63,
         carry_bf16=True))

@@ -70,7 +70,7 @@ def test_fused_step_matches_two_stage(stereo_scene):
     @jax.jit
     def two_stage(bank, buf, pose, bf):
         left, right = fuse_step.unpack_stereo(cfg, buf)
-        depth = fuse_step.compute_depth_stereo(cfg, SCFG, left, right, bf)
+        depth, _ = fuse_step.compute_depth_stereo(cfg, SCFG, left, right, bf)
         ph, pw = cfg.padded_height, cfg.padded_width
         img = jnp.pad(left, ((0, ph - cfg.height), (0, pw - cfg.width)))
         dep = jnp.pad(depth, ((0, ph - cfg.height), (0, pw - cfg.width)))
@@ -94,7 +94,7 @@ def test_stereo_depth_matches_ground_truth(stereo_scene):
     bf = CAM.fx * BASELINE
     depth = np.asarray(jax.jit(
         lambda l, r: fuse_step.compute_depth_stereo(
-            cfg, SCFG, l, r, jnp.float32(bf)))(
+            cfg, SCFG, l, r, jnp.float32(bf))[0])(
         jnp.asarray(li, jnp.float32), jnp.asarray(ri, jnp.float32)))
     sel = (depth > 0) & (ld > 1.0) & (ld < 15.0)
     assert sel.mean() > 0.1     # post-filter chain trims borders/flyers

@@ -67,6 +67,13 @@ while true; do
         run_one sgm_bench 1200 python experiments/sgm_bench.py 15
         run_one host_profile 900 python experiments/host_profile.py 120
         run_one multi_profile 1200 python experiments/multi_profile.py
+        # kernel-mode regression battery (VERDICT r4 #5): every Pallas
+        # mode must COMPILE on real hardware (interpret-mode CPU tests
+        # cannot certify Mosaic lowering — the bf16 pltpu.roll lesson),
+        # and the hier / subpixel A/Bs re-measure after kernel changes
+        run_one sgm_compile_check 1200 python experiments/sgm_compile_check.py
+        run_one hier_ab 1200 python experiments/hier_ab.py
+        run_one subpixel_ab 1200 python experiments/subpixel_ab.py
         probe && echo "post-battery still healthy" >> "$OUT/watch.log" \
               || echo "post-battery DEGRADED (discount tail items)" >> "$OUT/watch.log"
         echo "$ts battery done" >> "$OUT/watch.log"
