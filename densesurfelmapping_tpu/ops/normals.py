@@ -136,18 +136,31 @@ def _huber_gauss_newton(points: jnp.ndarray, mask: jnp.ndarray,
     n = jnp.concatenate([n0, jnp.zeros((n0.shape[0], 1), jnp.float32)], axis=-1)
     eye5 = 5.0 * jnp.eye(4, dtype=jnp.float32)
 
-    hp = jax.lax.Precision.HIGHEST  # GN normal equations need f32 exactness
+    # The normal equations are tiny in i,j (4x4) but huge in (S, K) — as
+    # einsums XLA lowers them to S-batched (4,K)@(K,4) matmuls whose MXU
+    # utilization is ~0.1% (4/128 x 4/128 of each 128x128 tile), measured
+    # ~7 ms/frame on the v5e.  Expanded as elementwise products + K-axis
+    # reductions they are pure VPU streams over (S, K) planes (f32-exact;
+    # only the K-sum order changes vs the einsum).
+    Ai = [A[..., i] for i in range(4)]                          # 4 x (S, K)
     for _ in range(5):
-        r = jnp.einsum("ski,si->sk", A, n, precision=hp)        # (S, K)
+        r = sum(Ai[i] * n[:, i:i + 1] for i in range(4))        # (S, K)
         inl = (r < hr) & (r > -hr) & mask
         jw = jnp.where(inl, 2.0 * r,
                        jnp.where(r >= hr, hr,
                                  jnp.where(r <= -hr, -hr, 0.0)))
         jw = jnp.where(mask, jw, 0.0)
-        jac = jnp.einsum("ski,sk->si", A, jw, precision=hp)     # (S, 4)
+        jac = jnp.stack([jnp.sum(Ai[i] * jw, axis=-1)
+                         for i in range(4)], axis=-1)           # (S, 4)
         hw = jnp.where(inl, 2.0, 0.0)
-        hess = jnp.einsum("ski,sk,skj->sij", A, hw, A,
-                          precision=hp) + eye5                  # (S, 4, 4)
+        hess_ij = [[None] * 4 for _ in range(4)]
+        for i in range(4):
+            hwi = hw * Ai[i]
+            for j in range(i, 4):
+                hess_ij[i][j] = hess_ij[j][i] = jnp.sum(hwi * Ai[j],
+                                                        axis=-1)
+        hess = jnp.stack([jnp.stack(row, axis=-1)
+                          for row in hess_ij], axis=-2) + eye5  # (S, 4, 4)
         n = n - _solve4(hess, jac)
 
     # uncenter: nb -= n . mean, then normalize the full 4-vector by |n_xyz|
